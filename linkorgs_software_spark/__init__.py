@@ -1,0 +1,27 @@
+"""linkorgs_software_spark — a from-scratch PySpark-native record-linkage
+and corpus-processing engine with the capabilities of cjerzak/LinkOrgs-software.
+
+Blocked fuzzy matching, alias-bridged (network) matching, embedding-space
+matching, transitive clustering, and match evaluation — re-expressed as
+idiomatic Spark DataFrame plans (SURVEY.md is the blueprint), plus the
+corpus operators a 100 TB training-data pipeline needs (dedup families,
+ANN, text analysis, multimodal plumbing).
+"""
+
+from .config import DEFAULT, LinkConfig
+from .operators.assess import MatchAssessment, assess_match_performance
+from .operators.calibrate import calibrated_threshold
+from .operators.cluster import clusters_to_pairs, connected_components, edges_from_matches
+from .plans.pipeline import link_orgs
+
+__all__ = [
+    "DEFAULT",
+    "LinkConfig",
+    "link_orgs",
+    "calibrated_threshold",
+    "connected_components",
+    "edges_from_matches",
+    "clusters_to_pairs",
+    "assess_match_performance",
+    "MatchAssessment",
+]

@@ -1,0 +1,78 @@
+"""Character q-gram expressions — the blocking & jaccard primitives.
+
+Reference semantics: ``LinkOrgs/R/LinkOrgs_BuildHelpers.R:190-205`` builds a
+trigram inverted index from every window start position 1..min(len, 100)
+(trailing windows shorter than q are included), and the default distance is
+set-based q-gram jaccard (``stringdist(method='jaccard', q=2)``, invoked at
+``LinkOrgs/R/LinkOrgs_PFuzzyDiscreteInternal.R:140-142``).
+
+All of this is native Catalyst (``transform``/``sequence``/``substring`` +
+array set ops) — no UDF, stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def qgram_array_expr(col: Column | str, q: int, *, prefix_cap: int | None = None) -> Column:
+    """All character q-gram windows of ``col`` (duplicates kept, in order).
+
+    Start positions run 1..len (capped at ``prefix_cap`` when given, the
+    reference caps trigram windows at position 100); ``substring`` truncates
+    naturally so trailing windows of length < q are included, matching the
+    reference index for short strings.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    if prefix_cap is not None:
+        n = F.least(n, F.lit(prefix_cap))
+    # sequence(1, 0) would generate a descending sequence — guard empties.
+    seq = F.sequence(F.lit(1), n)
+    grams = F.transform(seq, lambda i: c.substr(i, F.lit(q)))
+    return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def qgram_set_expr(col: Column | str, q: int, *, prefix_cap: int | None = None) -> Column:
+    """Distinct q-grams (set semantics — what jaccard operates over)."""
+    return F.array_distinct(qgram_array_expr(col, q, prefix_cap=prefix_cap))
+
+
+def jaccard_qgram_dist_expr(a_set: Column | str, b_set: Column | str) -> Column:
+    """Set q-gram jaccard *distance*: ``1 − |A∩B| / |A∪B|``.
+
+    Matches R ``stringdist(method='jaccard', q=q)`` (set-based, not bag).
+    Empty∪empty is defined as distance 0.0 (identical empties), like
+    stringdist.
+    """
+    a = F.col(a_set) if isinstance(a_set, str) else a_set
+    b = F.col(b_set) if isinstance(b_set, str) else b_set
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(F.lit(1.0) - inter / union)
+
+
+def explode_qgrams(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    q: int,
+    *,
+    prefix_cap: int | None = 100,
+    out_col: str = "gram",
+) -> DataFrame:
+    """Long-format inverted index ``(id, gram)`` — distinct per row.
+
+    The reference materializes this as the ``trigram_index`` table
+    (``BuildHelpers.R:190-205``); here it is an ``explode`` over a native
+    array expression (no UDTF). Distinct (id, gram) because our blocking
+    counts *shared distinct grams* — see operators/blocking.py.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(qgram_set_expr(name_col, q, prefix_cap=prefix_cap)).alias(out_col),
+        )
+        .dropDuplicates([id_col, out_col])
+    )

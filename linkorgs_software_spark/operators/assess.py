@@ -1,0 +1,70 @@
+"""Match-quality evaluation — the F1 >= 0.99 gate.
+
+Reference semantics (``LinkOrgs/R/LinkOrgs_AssessMatches.R:51-91``): dedup
+both pair sets, then count membership — TP = predicted ∩ truth,
+FP = predicted \\ truth, FN = truth \\ predicted, and
+TN = n_distinct(x) * n_distinct(y) − TP − FP − FN. The reference's hashed
+``%fin%`` membership becomes semi/anti joins (its own Spark analogue).
+F1 = 2TP / (2TP + FP + FN), computed on the driver from four counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class MatchAssessment:
+    tp: int
+    fp: int
+    fn: int
+    tn: int
+
+    @property
+    def precision(self) -> float:
+        d = self.tp + self.fp
+        return self.tp / d if d else 0.0
+
+    @property
+    def recall(self) -> float:
+        d = self.tp + self.fn
+        return self.tp / d if d else 0.0
+
+    @property
+    def f1(self) -> float:
+        d = 2 * self.tp + self.fp + self.fn
+        return 2 * self.tp / d if d else 0.0
+
+
+def _dedup_pairs(df: DataFrame, name_x: str, name_y: str) -> DataFrame:
+    return df.select(
+        F.col(name_x).alias("name_x"), F.col(name_y).alias("name_y")
+    ).dropDuplicates(["name_x", "name_y"])
+
+
+def assess_match_performance(
+    z: DataFrame,
+    z_true: DataFrame,
+    *,
+    n_x: int,
+    n_y: int,
+    name_x: str = "name_x",
+    name_y: str = "name_y",
+) -> MatchAssessment:
+    """Confusion counts for predicted pairs ``z`` against truth ``z_true``.
+
+    ``n_x`` / ``n_y`` are the distinct-name counts of the two input tables
+    (the TN universe, ``AssessMatches.R:64``).
+    """
+    pred = _dedup_pairs(z, name_x, name_y)
+    truth = _dedup_pairs(z_true, name_x, name_y)
+
+    keys = ["name_x", "name_y"]
+    tp = pred.join(truth, keys, "left_semi").count()
+    fp = pred.join(truth, keys, "left_anti").count()
+    fn = truth.join(pred, keys, "left_anti").count()
+    tn = n_x * n_y - tp - fp - fn
+    return MatchAssessment(tp=tp, fp=fp, fn=fn, tn=tn)

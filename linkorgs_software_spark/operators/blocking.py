@@ -1,0 +1,100 @@
+"""Trigram inverted-index blocking — the candidate-pair generator.
+
+Reference semantics (``LinkOrgs/R/LinkOrgs_PFuzzyDiscreteInternal.R:102-139``):
+build a trigram index per side, and a pair (x, y) becomes a candidate iff the
+two names share at least ``ceil(min_shared_frac * |trigrams(x)|)`` trigrams
+(default 5%). This is the *fixed blocking key* of the north rule — every
+scorer (q-gram jaccard, JW, OSA, embeddings) scores the same candidate set.
+
+Spark-first design (NOT the reference's per-row loop):
+  explode distinct grams → equi-join on gram → hash-agg count per (x, y)
+  → threshold filter.
+
+Scale levers (all absent from the single-node reference — SURVEY.md §4):
+  * **frequency cap** (``max_block_df``): grams whose posting list exceeds
+    the cap are dropped from the *join* (they are uninformative stop-grams
+    like ``"inc"`` and they are exactly the keys that skew the shuffle at
+    10^12-turn scale). The shared-count *denominator* still uses the uncapped
+    gram count, so the filter only ever gets stricter, never admits junk.
+  * **salting** (``salt_buckets``): optional explicit split of hot gram
+    posting lists across S synthetic sub-keys; the x side replicates S ways,
+    the y side maps each row to one bucket, so every true (x, y, gram) match
+    still meets exactly once. Complements AQE skew-join splitting.
+  * AQE (``spark.sql.adaptive.skewJoin.enabled``) is assumed on; the join is
+    a plain shuffled hash/SMJ that AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LinkConfig
+from ..functions.normalize import NORM_COL
+from ..functions.qgrams import explode_qgrams
+
+SHARED_COL = "shared_grams"
+
+
+def gram_index(df: DataFrame, id_col: str, cfg: LinkConfig) -> DataFrame:
+    """Distinct ``(id, gram)`` inverted index for one side."""
+    uniq = df.select(id_col, NORM_COL).dropDuplicates([id_col])
+    return explode_qgrams(
+        uniq, NORM_COL, id_col, cfg.block_ngram, prefix_cap=cfg.name_prefix_cap
+    )
+
+
+def _apply_df_cap(index: DataFrame, gram_col: str, cap: int) -> DataFrame:
+    """Drop grams whose posting list exceeds ``cap`` (skew/stop-gram guard)."""
+    counts = index.groupBy(gram_col).agg(F.count(F.lit(1)).alias("_df"))
+    keep = counts.filter(F.col("_df") <= cap).select(gram_col)
+    # keep-list is small by construction (it is the *capped* vocabulary);
+    # left_semi keeps the index lean before the big join.
+    return index.join(F.broadcast(keep), gram_col, "left_semi")
+
+
+def candidate_pairs(
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    cfg: LinkConfig,
+    *,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+) -> DataFrame:
+    """Blocked candidate pairs ``(x_id, y_id, shared_grams, n_grams_x)``.
+
+    ``x_prep`` / ``y_prep`` carry ``name_norm`` + the hash id (see
+    functions/normalize.prepare_side).
+    """
+    x_tri = gram_index(x_prep, x_id, cfg)
+    y_tri = gram_index(y_prep, y_id, cfg)
+
+    # Denominator BEFORE any cap: |distinct grams(x)| — keeps the reference's
+    # >= ceil(frac * n) contract monotone under capping.
+    x_ntri = x_tri.groupBy(x_id).agg(F.count(F.lit(1)).alias("n_grams_x"))
+
+    if cfg.max_block_df is not None:
+        x_tri = _apply_df_cap(x_tri, "gram", cfg.max_block_df)
+        y_tri = _apply_df_cap(y_tri, "gram", cfg.max_block_df)
+
+    if cfg.salt_buckets and cfg.salt_buckets > 1:
+        s = cfg.salt_buckets
+        y_tri = y_tri.withColumn("_salt", F.pmod(F.xxhash64(F.col(y_id)), F.lit(s)))
+        x_tri = x_tri.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        join_keys = ["gram", "_salt"]
+    else:
+        join_keys = ["gram"]
+
+    shared = (
+        x_tri.join(y_tri, join_keys)
+        .groupBy(x_id, y_id)
+        .agg(F.count(F.lit(1)).alias(SHARED_COL))
+    )
+
+    return (
+        shared.join(x_ntri, x_id)
+        .filter(
+            F.col(SHARED_COL)
+            >= F.ceil(F.lit(float(cfg.min_shared_frac)) * F.col("n_grams_x"))
+        )
+    )

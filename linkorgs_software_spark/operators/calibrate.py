@@ -1,0 +1,83 @@
+"""Sampling-based distance-threshold calibration.
+
+Reference semantics (``LinkOrgs/R/LinkOrgs_CalibrateDistThres.R:37-104``):
+take <=1000 rows per side, score ALL sample pairs (MaxDist=Inf), and set the
+threshold to the distance quantile that would yield, on average,
+``AveMatchNumberPerAlias`` matches per left row:
+
+    q = k * sqrt(nx*ny) / (nx*ny)  =  k / sqrt(nx*ny)
+
+clamped to [1e-6, inf); empty input => +inf (match nothing... reference
+returns Inf meaning no constraint on an empty side). Unlike the reference's
+unseeded ``sample()``, ours is **seeded** (SURVEY.md §7.4 risk 3) so the
+threshold — and therefore F1 — is reproducible run-to-run.
+
+This is app-level selectivity estimation (the CBO analogy in SURVEY.md §4);
+the cross join is bounded at sample_cap² pairs so it never grows with data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LinkConfig
+from ..functions.normalize import NORM_COL
+from ..functions.scorers import distance_expr
+
+
+def _seeded_sample(df: DataFrame, cap: int, seed: int) -> DataFrame:
+    n = df.count()
+    if n <= cap:
+        return df
+    # Oversample slightly, then limit — deterministic under a fixed seed and
+    # fixed input; avoids a global sort at scale.
+    frac = min(1.0, (cap * 1.5) / n)
+    return df.sample(fraction=frac, seed=seed).limit(cap)
+
+
+def calibrated_threshold(
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    cfg: LinkConfig,
+    *,
+    k: float | None = None,
+    measure: str | None = None,
+) -> float:
+    """Data-dependent MaxDist for ``measure`` at budget ``k`` matches/row."""
+    k = cfg.ave_match_number_per_alias if k is None else k
+    measure = cfg.distance_measure if measure is None else measure
+
+    xs = _seeded_sample(x_prep.select(NORM_COL).dropDuplicates(), cfg.calibration_sample, cfg.seed)
+    ys = _seeded_sample(
+        y_prep.select(F.col(NORM_COL).alias("_ynorm")).dropDuplicates(),
+        cfg.calibration_sample,
+        cfg.seed + 1,
+    )
+
+    nx = x_prep.select(NORM_COL).dropDuplicates().count()
+    ny = y_prep.select(NORM_COL).dropDuplicates().count()
+    if nx == 0 or ny == 0:
+        return float("inf")
+
+    q = k / math.sqrt(float(nx) * float(ny))
+    q = min(max(q, 0.0), 1.0)
+
+    dists = (
+        xs.crossJoin(ys)
+        .select(
+            distance_expr(measure, NORM_COL, "_ynorm", qgram=cfg.qgram).alias("dist")
+        )
+        .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
+    )
+    if q >= 1.0:
+        row = dists.agg(F.max("dist").alias("m")).collect()[0]
+        thr = row["m"]
+    else:
+        quantiles = dists.approxQuantile("dist", [q], 0.0001)
+        thr = quantiles[0] if quantiles else None
+    if thr is None:
+        return float("inf")
+    return max(float(thr), 1e-6)

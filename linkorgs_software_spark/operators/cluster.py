@@ -1,0 +1,95 @@
+"""Transitive clustering: connected components over accepted match edges.
+
+The reference never computes clusters itself — its alias directory ships a
+precomputed ``canonical_id`` per alias (``LinkOrgs/R/LinkOrgs_LinkOrgs.R:
+460-477``), which *is* an entity-cluster id. A from-scratch engine must
+reproduce that step: connected components over the match-edge graph
+(SURVEY.md §3.2 step 5 note), emitting ``cluster_id`` per record.
+
+Implementation: iterative **min-label propagation** with DataFrame joins —
+each round every node adopts the minimum label among itself and its
+neighbors; convergence in O(diameter) rounds. Entity-resolution graphs are
+star-shaped (aliases around an entity), so the diameter is small and label
+propagation beats the constant factors of large-star/small-star at this
+shape; lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
+rounds so the plan does not grow unboundedly (SURVEY.md §4 physical notes).
+The per-round shuffle is a single ``groupBy(node).min(label)``; mega-cluster
+skew is bounded because hot labels hash-partition by *node*, not by label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Components of an undirected graph → ``(id, component)``.
+
+    ``component`` is the minimum node id in the component (stable,
+    deterministic). Isolated nodes appear iff present as self or one-sided
+    edges; callers union in singleton records themselves.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+
+    labels = nodes.withColumn("component", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        # neighbor labels: for node b, the label of neighbor a
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # Eager checkpoint each round: the convergence count evaluates the
+        # frame anyway, and checkpointing truncates lineage for free.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def edges_from_matches(matches: DataFrame, x_id: str = "x_id", y_id: str = "y_id") -> DataFrame:
+    """Match pairs → edge list over a shared id space.
+
+    The two sides use independent 64-bit name hashes; collisions across
+    sides are what the pair itself asserts (an x-node and y-node may hash
+    equal only if the normalized names are equal — which is a true edge
+    anyway), so ids can share one space directly.
+    """
+    return matches.select(F.col(x_id).alias("src"), F.col(y_id).alias("dst"))
+
+
+def clusters_to_pairs(assign: DataFrame, *, id_col: str = "id", comp_col: str = "component") -> DataFrame:
+    """Expand a cluster assignment into all intra-cluster pairs (id_a < id_b).
+
+    Used by the evaluation harness to compare transitive clusters against
+    labeled pairs at pair granularity. The self-join is per-component; a
+    mega-component would square — callers should cap or sample components
+    beyond a size bound at true scale (skew note in SURVEY.md §7.4 risk 4).
+    """
+    a = assign.select(F.col(comp_col).alias("c"), F.col(id_col).alias("id_a"))
+    b = assign.select(F.col(comp_col).alias("c"), F.col(id_col).alias("id_b"))
+    return a.join(b, "c").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "c")

@@ -1,0 +1,245 @@
+"""Corpus-scale deduplication operators (training-data pipeline suite).
+
+Five dedup families over a ``documents(doc_id, text)`` table, each one a
+composition of the engine's blocking/scoring primitives — all portable to
+an ANSI-SQL oracle:
+
+  * exact           — content-hash groupBy (byte-identical docs)
+  * n-gram jaccard  — shared-shingle blocking + set-jaccard verify
+  * MinHash + LSH   — portable md5 minhash signatures, banded bucket join
+  * SimHash         — md5-derived bit signature, near-dup via hamming bands
+  * embedding       — cosine-threshold near-dup (brute force verify;
+                      hyperplane-LSH candidates at scale — see ann.py)
+
+Hash portability: every hash is ``md5`` of a visible string (hex compared
+lexicographically), so Spark and DuckDB agree bit-for-bit; no engine-private
+hash (xxhash64/duckdb hash) crosses the oracle boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import cosine_sim_expr
+from ..functions.qgrams import jaccard_qgram_dist_expr
+from ..functions.text import word_shingles_expr
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_group, group_size, keep) — keep = smallest id per group."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("dup_group"))
+    g = h.groupBy("dup_group").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("_keep_id")
+    )
+    return (
+        h.join(g, "dup_group")
+        .select(
+            id_col,
+            "dup_group",
+            "group_size",
+            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )
+
+
+def ngram_jaccard_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_block_df: int = 5000,
+) -> DataFrame:
+    """Near-dup pairs by word-shingle jaccard similarity >= threshold.
+
+    Blocking: docs sharing at least one (df-capped) shingle; verify: exact
+    set jaccard on the full shingle sets. Returns (id_a, id_b, jaccard_sim),
+    id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(text_col, shingle_k).alias("shingles"),
+    )
+    idx = sh.select("id", F.explode("shingles").alias("s"))
+    dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    idx = idx.join(F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")), "s", "left_semi")
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sim = F.lit(1.0) - jaccard_qgram_dist_expr("sh_a", "sh_b")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) portable MinHash: h_i = min(md5(i || ':' || shingle)).
+
+    One explode + one groupBy with n min-aggregates — a single shuffle,
+    map-side partial mins, no UDF.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_expr(text_col, shingle_k)).alias("s"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified by exact shingle jaccard.
+
+    Signature → ``bands`` buckets of ``num_hashes/bands`` rows; docs sharing
+    any band bucket are candidates (classic banding: P[candidate] =
+    1-(1-s^r)^b); verify pass computes true jaccard and applies threshold.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)])
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles_expr(text_col, shingle_k).alias("sh")
+    )
+    sim = F.lit(1.0) - jaccard_qgram_dist_expr("sh_a", "sh_b")
+    return (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_expr(text_col, *, bits: int = SIMHASH_BITS):
+    """Portable SimHash: per-token bit_j = parity of the j-th hex char of
+    md5(token); signature bit j set iff sum over tokens of (2*bit_j − 1) > 0.
+
+    Pure Catalyst: explode-free (aggregate over the token array).
+    """
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+
+    def _merge(j):
+        return lambda acc, t: acc + (F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), _merge(j))
+        out = out + F.when(contrib > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidates: pigeonhole banding — signatures within hamming d must share
+    at least one of ``blocks`` bit-blocks when blocks > d; verify with
+    ``bit_count(xor)``. Returns (id_a, id_b, hamming).
+    """
+    assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+    width = bits // blocks
+    sig = df.select(F.col(id_col).alias("id"), simhash_expr(text_col, bits=bits).alias("sig"))
+    block_cols = [
+        F.concat_ws(
+            ":", F.lit(str(b)), (F.shiftright("sig", b * width) % (2**width)).cast("string")
+        ).alias(f"blk{b}")
+        for b in range(blocks)
+    ]
+    blocked = sig.select("id", "sig", F.explode(F.array(*block_cols)).alias("blk"))
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "blk")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs (brute-force verify path).
+
+    The all-pairs join is the *verify* stage; at 100 TB the candidate stage
+    is hyperplane LSH (ann.lsh_buckets) — compose ``lsh_buckets`` →
+    ``embedding_neardup`` on bucket-joined candidates.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine_sim_expr("v_a", "v_b"))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine_sim")
+    )

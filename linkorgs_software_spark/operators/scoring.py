@@ -1,0 +1,57 @@
+"""Pairwise scoring of blocked candidates.
+
+Reference: candidates surviving the shared-trigram filter are scored with
+``stringdist`` and kept when ``dist <= MaxDist``
+(``LinkOrgs/R/LinkOrgs_PFuzzyDiscreteInternal.R:140-148``) — a theta join
+realized, as in every Spark ER engine, as block → score → filter.
+
+The names needed for scoring are attached by two equi-joins against the
+deduplicated (id, name) side tables (the reference's positional
+``cbind(x[ix,], y[iy,])`` re-join — ``PFuzzyDiscreteFullFxn.R:84-88``).
+``repartitionByRange`` on the pair key before a pandas-UDF scorer keeps
+Arrow batches balanced when block sizes are skewed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LinkConfig
+from ..functions.normalize import NORM_COL
+from ..functions.scorers import distance_expr
+
+DIST_COL = "stringdist"
+
+
+def score_pairs(
+    pairs: DataFrame,
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    cfg: LinkConfig,
+    *,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    max_dist: float | None = None,
+) -> DataFrame:
+    """Attach normalized names, score, and (optionally) threshold-filter.
+
+    Returns ``(x_id, y_id, name_norm_x, name_norm_y, stringdist)``.
+    """
+    xn = x_prep.select(F.col(x_id), F.col(NORM_COL).alias("name_norm_x")).dropDuplicates([x_id])
+    yn = y_prep.select(F.col(y_id), F.col(NORM_COL).alias("name_norm_y")).dropDuplicates([y_id])
+
+    scored = (
+        pairs.select(x_id, y_id)
+        .join(xn, x_id)
+        .join(yn, y_id)
+        .withColumn(
+            DIST_COL,
+            distance_expr(
+                cfg.distance_measure, "name_norm_x", "name_norm_y", qgram=cfg.qgram
+            ),
+        )
+    )
+    if max_dist is not None and max_dist != float("inf"):
+        scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
+    return scored

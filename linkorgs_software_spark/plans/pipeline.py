@@ -1,0 +1,173 @@
+"""Top-level linkage plans — the ``LinkOrgs()`` equivalent, Spark-first.
+
+Algorithms (reference whitelist at ``LinkOrgs/R/LinkOrgs_LinkOrgs.R:164-168``):
+  * ``fuzzy``    — blocked q-gram fuzzy match (lifecycle SURVEY.md §3.1)
+  * ``lookup``   — exact normalized-name join through the alias directory
+                   (``LinkOrgs_LinkOrgs.R:619-623``)
+  * ``alias``    — alias-bridged match: raw fuzzy + 2-hop network bridge with
+                   score fusion (reference ``bipartite``/``markov``,
+                   lifecycle §3.2; both reference variants differ only in
+                   which precomputed directory they download, so one
+                   algorithm + a caller-supplied directory covers both)
+  * ``embed``    — embedding-space match: same trigram blocking key, L2
+                   scoring over deterministic hash embeddings (reference
+                   ``ml`` path, lifecycle §3.3)
+
+Every stage is a pure DataFrame → DataFrame function; the physical plan is
+Catalyst's business (broadcast for the directory, SMJ/AQE for the pair
+joins). The returned frame has one row per distinct matched *name pair*
+(reference granularity — ids are name hashes, ``LinkOrgs_LinkOrgs.R:530-535``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT, LinkConfig
+from ..functions.embedding import l2_dist_udf, make_hash_embed_udf
+from ..functions.normalize import NORM_COL, pair_id_expr, prepare_side
+from ..operators.blocking import candidate_pairs
+from ..operators.calibrate import calibrated_threshold
+from ..operators.dedup import keep_min_per_group, min_over_group
+from ..operators.network import (
+    bridge,
+    fuse_scores,
+    match_to_directory,
+    prepare_directory,
+)
+from ..operators.scoring import DIST_COL, score_pairs
+
+ALGORITHMS = ("fuzzy", "lookup", "alias", "embed")
+
+
+def _rep_rows(prep: DataFrame, id_col: str, by_col: str, suffix: str) -> DataFrame:
+    """One deterministic representative original row per name-hash id."""
+    others = [c for c in prep.columns if c not in (id_col, NORM_COL)]
+    w = Window.partitionBy(id_col).orderBy(*[F.col(c).asc_nulls_last() for c in [by_col] + [c for c in others if c != by_col]])
+    rep = prep.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", NORM_COL)
+    renames = {c: f"{c}{suffix}" for c in others}
+    for old, new in renames.items():
+        rep = rep.withColumnRenamed(old, new)
+    return rep
+
+
+def _raw_match(
+    x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float
+) -> DataFrame:
+    cands = candidate_pairs(x_prep, y_prep, cfg)
+    return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
+
+
+def _embed_match(
+    x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float | None
+) -> DataFrame:
+    """Same blocking key, L2 scoring over hash embeddings (``ml`` analogue)."""
+    embed = make_hash_embed_udf(seed=cfg.seed)
+    xe = x_prep.withColumn("_emb", embed(F.col(NORM_COL)))
+    ye = y_prep.withColumn("_emb", embed(F.col(NORM_COL)))
+    cands = candidate_pairs(x_prep, y_prep, cfg)
+    xn = xe.select("x_id", F.col(NORM_COL).alias("name_norm_x"), F.col("_emb").alias("_emb_x")).dropDuplicates(["x_id"])
+    yn = ye.select("y_id", F.col(NORM_COL).alias("name_norm_y"), F.col("_emb").alias("_emb_y")).dropDuplicates(["y_id"])
+    scored = (
+        cands.select("x_id", "y_id")
+        .join(xn, "x_id")
+        .join(yn, "y_id")
+        .withColumn(DIST_COL, l2_dist_udf(F.col("_emb_x"), F.col("_emb_y")))
+        .drop("_emb_x", "_emb_y")
+    )
+    if max_dist is not None and max_dist != float("inf"):
+        scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
+    return scored
+
+
+def link_orgs(
+    x: DataFrame,
+    y: DataFrame,
+    cfg: LinkConfig = DEFAULT,
+    *,
+    algorithm: str = "fuzzy",
+    directory: DataFrame | None = None,
+    decomposition: bool = False,
+    one_to_one: bool = False,
+):
+    """Link two org-name tables; returns the matched-pair DataFrame.
+
+    With ``decomposition=True`` returns ``{"z": ..., "z_raw_names": ...,
+    "z_network": ...}`` (reference return list, ``LinkOrgs_LinkOrgs.R:785-787``).
+    """
+    if algorithm not in ALGORITHMS:
+        raise ValueError(f"algorithm must be one of {ALGORITHMS}, got {algorithm!r}")
+    if algorithm in ("lookup", "alias") and directory is None:
+        raise ValueError(f"algorithm {algorithm!r} requires a directory DataFrame")
+
+    x_prep = prepare_side(x, cfg.by_x, "x_id", cfg)
+    y_prep = prepare_side(y, cfg.by_y, "y_id", cfg)
+
+    z_raw = None
+    z_net = None
+
+    if algorithm == "embed":
+        thr = cfg.max_dist
+        if thr is None:
+            # calibrate on the embedding distance directly
+            from ..functions.scorers import register_scorer
+
+            embed = make_hash_embed_udf(seed=cfg.seed)
+            register_scorer(
+                "_embed_l2_cal", lambda a, b, q: l2_dist_udf(embed(a), embed(b))
+            )
+            thr = calibrated_threshold(x_prep, y_prep, cfg, measure="_embed_l2_cal")
+        z_raw = _embed_match(x_prep, y_prep, cfg, thr)
+    elif algorithm == "lookup":
+        dir_prep = prepare_directory(directory, cfg)
+        xd = x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"]).join(
+            F.broadcast(dir_prep), NORM_COL
+        ).select("x_id", F.col(NORM_COL).alias("name_norm_x"), "canonical_id")
+        yd = y_prep.select("y_id", NORM_COL).dropDuplicates(["y_id"]).join(
+            F.broadcast(dir_prep), NORM_COL
+        ).select("y_id", F.col(NORM_COL).alias("name_norm_y"), "canonical_id")
+        z_net = xd.join(yd, "canonical_id").withColumn(
+            "netdist_x", F.lit(0.0)
+        ).withColumn("netdist_y", F.lit(0.0))
+    else:
+        thr = cfg.max_dist
+        if thr is None:
+            thr = calibrated_threshold(x_prep, y_prep, cfg)
+        z_raw = _raw_match(x_prep, y_prep, cfg, thr)
+        if algorithm == "alias":
+            dir_prep = prepare_directory(directory, cfg)
+            x2net = match_to_directory(
+                x_prep, dir_prep, cfg, side_id="x_id", out_dist="netdist_x"
+            )
+            y2net = match_to_directory(
+                y_prep, dir_prep, cfg, side_id="y_id", out_dist="netdist_y"
+            )
+            z_net = bridge(x2net, y2net)
+
+    fused = fuse_scores(z_raw, z_net, cfg)
+    fused = fused.withColumn("pair_id", pair_id_expr("x_id", "y_id"))
+    fused = min_over_group(fused, ["pair_id"], "minDist", "minDist_pair")
+    fused = fused.withColumn("minDist", F.col("minDist_pair")).drop("minDist_pair")
+    z = keep_min_per_group(
+        fused, ["pair_id"], "minDist", tiebreak_cols=[DIST_COL, "name_norm_x", "name_norm_y"]
+    )
+
+    if one_to_one:
+        # Mutual-best selection: a pair survives iff it is the closest match
+        # for BOTH its x and its y (deterministic tiebreaks). This is the
+        # assignment the F1 >= 0.99 gate evaluates; the default (budgeted
+        # many-to-many) mirrors the reference's AveMatchNumberPerAlias
+        # semantics instead.
+        bx = keep_min_per_group(z, ["x_id"], "minDist", ["name_norm_y"]).select("x_id", "y_id")
+        by = keep_min_per_group(z, ["y_id"], "minDist", ["name_norm_x"]).select("x_id", "y_id")
+        z = bx.join(by, ["x_id", "y_id"]).join(z, ["x_id", "y_id"])
+
+    # attach original columns (reference back-merge, LinkOrgs_LinkOrgs.R:643-653)
+    x_rep = _rep_rows(x_prep, "x_id", cfg.by_x, "_x")
+    y_rep = _rep_rows(y_prep, "y_id", cfg.by_y, "_y")
+    out = z.join(x_rep, "x_id").join(y_rep, "y_id")
+
+    if decomposition:
+        return {"z": out, "z_raw_names": z_raw, "z_network": z_net}
+    return out

@@ -1,0 +1,86 @@
+"""Sources & sinks: table readers + resumable stage checkpoints.
+
+The reference ingests in-memory data.frames and cached ``.Rdata`` downloads
+(``LinkOrgs/R/LinkOrgs_LinkOrgs.R:150-163,460-477``; ``BuildHelpers.R:31-69``)
+and returns a merged data.frame. Our engine reads/writes columnar tables and
+checkpoints every stage for resumability (north rule): in production these
+are Iceberg tables (snapshot lineage comes free); in this sandbox the same
+API runs on parquet directories with an explicit ``_metrics.json`` per stage
+carrying row counts — a re-run detects a completed stage and skips it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names=TPCH_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+class StageCheckpointer:
+    """Resumable per-stage materialization with row-count metrics.
+
+    ``run(name, build)`` returns the stage's DataFrame: read back from a
+    completed checkpoint if one exists (parquet ``_SUCCESS`` marker — the
+    Iceberg analogue is a committed snapshot), else computed via ``build()``,
+    written, and logged to ``<base>/_metrics.jsonl`` with rows + wall time.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def is_complete(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+
+    def run(self, name: str, build) -> DataFrame:
+        path = self._path(name)
+        if self.is_complete(name):
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        rows = out.count()
+        rec = {
+            "stage": name,
+            "rows": rows,
+            "partitions": out.rdd.getNumPartitions(),
+            "secs": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(self.base_dir, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return out
+
+    def metrics(self) -> list[dict]:
+        p = os.path.join(self.base_dir, "_metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,11 @@
+"""Streaming surface.
+
+The reference is strictly batch — no watermarks, windows, state, or
+late-data handling anywhere in ``LinkOrgs/R/`` (SURVEY.md §2.9) — so batch
+with resumable checkpoints is the primary mode here too. For continuously
+arriving transcripts, ``incremental_link`` wires the same batch pipeline
+into Structured Streaming via ``foreachBatch``: each micro-batch of new
+mentions links against a static reference side and appends to the sink.
+"""
+
+from .incremental import incremental_link  # noqa: F401

@@ -1,0 +1,47 @@
+"""Incremental linkage over a transcript stream (foreachBatch).
+
+Batch logic is reused verbatim — the whole pipeline is DataFrame →
+DataFrame, so `foreachBatch` is the natural streaming adapter: each
+micro-batch of arriving turns has mentions extracted and linked against the
+static y-side, with exactly-once sink semantics delegated to the sink
+(parquet/Iceberg append + checkpointLocation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..config import DEFAULT, LinkConfig
+from ..plans.pipeline import link_orgs
+from ..sources.fixtures import extract_mentions
+
+
+def incremental_link(
+    transcripts_stream: DataFrame,
+    y_static: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    cfg: LinkConfig = DEFAULT,
+    *,
+    max_dist: float = 0.4,
+):
+    """Start a streaming query linking each micro-batch's mentions to y.
+
+    ``max_dist`` must be fixed (calibration samples are a batch concept);
+    pass a threshold calibrated offline on a representative batch.
+    """
+    run_cfg = cfg.with_(max_dist=max_dist)
+
+    def _link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = extract_mentions(batch_df).withColumnRenamed("name", cfg.by_x)
+        if not mentions.take(1):
+            return
+        z = link_orgs(mentions, y_static, run_cfg, algorithm="fuzzy")
+        z.write.mode("append").parquet(sink_path)
+
+    return (
+        transcripts_stream.writeStream.foreachBatch(_link_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
