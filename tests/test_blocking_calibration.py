@@ -1,0 +1,123 @@
+"""Blocking-join + calibration semantics — mirrors reference
+PFuzzyDiscreteInternal.R:102-139 blocking and test-calibration.R."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark.config import LinkConfig
+from linkorgs_software_spark.functions.normalize import prepare_side
+from linkorgs_software_spark.operators.blocking import candidate_pairs
+from linkorgs_software_spark.operators.calibrate import calibrated_threshold
+
+
+def _sides(spark, xs, ys, cfg):
+    x = spark.createDataFrame([(i, n) for i, n in enumerate(xs)], "id long, name string")
+    y = spark.createDataFrame([(i, n) for i, n in enumerate(ys)], "id long, name string")
+    return (
+        prepare_side(x, "name", "x_id", cfg),
+        prepare_side(y, "name", "y_id", cfg),
+    )
+
+
+def test_blocking_recovers_similar_pairs(spark):
+    cfg = LinkConfig()
+    xp, yp = _sides(
+        spark,
+        ["stellar dynamics corp", "unrelated zq"],
+        ["stellar dynamics inc", "totally different name"],
+        cfg,
+    )
+    pairs = candidate_pairs(xp, yp, cfg)
+    joined = (
+        pairs.join(xp.select("x_id", F.col("name_norm").alias("nx")), "x_id")
+        .join(yp.select("y_id", F.col("name_norm").alias("ny")), "y_id")
+        .select("nx", "ny")
+        .collect()
+    )
+    assert ("stellar dynamics corp", "stellar dynamics inc") in {
+        (r.nx, r.ny) for r in joined
+    }
+
+
+def test_blocking_shared_fraction_threshold(spark):
+    # with min_shared_frac=1.0, only (near-)identical gram sets survive
+    cfg = LinkConfig(min_shared_frac=1.0)
+    xp, yp = _sides(spark, ["acme corp"], ["acme corp", "acme corpx"], cfg)
+    pairs = candidate_pairs(xp, yp, cfg)
+    names = {
+        r.ny
+        for r in pairs.join(
+            yp.select("y_id", F.col("name_norm").alias("ny")), "y_id"
+        ).collect()
+    }
+    # "acme corpx" lacks x's tail windows "rp"/"p" (its own tails are
+    # "rpx"/"px"/"x"), so full containment of x's grams fails.
+    assert "acme corp" in names
+    assert "acme corpx" not in names
+
+
+def test_blocking_df_cap_drops_stop_grams(spark):
+    cfg = LinkConfig(max_block_df=2, min_shared_frac=0.05)
+    xs = [f"inc {c}{c}{c}" for c in "abcdefgh"]  # "inc" gram everywhere
+    xp, yp = _sides(spark, xs, xs, cfg)
+    pairs = candidate_pairs(xp, yp, cfg)
+    # every name still matches itself through its unique ccc grams
+    self_pairs = pairs.join(
+        xp.select("x_id", F.col("name_norm").alias("nx")), "x_id"
+    ).join(yp.select("y_id", F.col("name_norm").alias("ny")), "y_id")
+    sames = self_pairs.filter(F.col("nx") == F.col("ny")).count()
+    assert sames == len(xs)
+
+
+def test_blocking_salted_equals_unsalted(spark):
+    cfg = LinkConfig()
+    cfg_salt = LinkConfig(salt_buckets=4)
+    xp, yp = _sides(
+        spark,
+        ["alpha beta systems", "gamma delta corp", "epsilon zeta llc"],
+        ["alpha beta systems inc", "gamma delta co", "something else"],
+        cfg,
+    )
+    plain = {
+        (r.x_id, r.y_id, r.shared_grams)
+        for r in candidate_pairs(xp, yp, cfg).collect()
+    }
+    salted = {
+        (r.x_id, r.y_id, r.shared_grams)
+        for r in candidate_pairs(xp, yp, cfg_salt).collect()
+    }
+    assert plain == salted
+
+
+def test_calibration_positive_and_clamped(spark, fixture_tables):
+    cfg = LinkConfig()
+    xp = prepare_side(fixture_tables["org_x"], "name", "x_id", cfg)
+    yp = prepare_side(fixture_tables["org_y"], "name", "y_id", cfg)
+    thr = calibrated_threshold(xp, yp, cfg)
+    assert thr >= 1e-6
+    assert math.isfinite(thr)
+
+
+def test_calibration_monotone_in_k(spark, fixture_tables):
+    # reference: test-calibration.R:38-58 — threshold(k=1) <= threshold(k=20)
+    cfg = LinkConfig()
+    xp = prepare_side(fixture_tables["org_x"], "name", "x_id", cfg)
+    yp = prepare_side(fixture_tables["org_y"], "name", "y_id", cfg)
+    t1 = calibrated_threshold(xp, yp, cfg, k=1.0)
+    t20 = calibrated_threshold(xp, yp, cfg, k=20.0)
+    assert t1 <= t20
+
+
+def test_calibration_empty_is_inf(spark):
+    cfg = LinkConfig()
+    xp, yp = _sides(spark, [], ["a name"], cfg)
+    assert calibrated_threshold(xp, yp, cfg) == float("inf")
+
+
+def test_calibration_deterministic(spark, fixture_tables):
+    cfg = LinkConfig()
+    xp = prepare_side(fixture_tables["org_x"], "name", "x_id", cfg)
+    yp = prepare_side(fixture_tables["org_y"], "name", "y_id", cfg)
+    assert calibrated_threshold(xp, yp, cfg) == calibrated_threshold(xp, yp, cfg)

@@ -1,0 +1,89 @@
+"""Connected components + evaluation arithmetic — mirrors reference
+test-assessment.R (SURVEY.md §5) and the clustering step of §3.2."""
+
+import pytest
+
+from linkorgs_software_spark import (
+    assess_match_performance,
+    clusters_to_pairs,
+    connected_components,
+)
+
+
+def test_cc_basic_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "src long, dst long"
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == 10
+    assert cc[5] == 5
+
+
+def test_cc_long_chain(spark):
+    n = 20
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == n + 1
+
+
+def test_cc_deterministic_min_label(spark):
+    edges = spark.createDataFrame([(7, 3), (3, 9), (9, 1)], "src long, dst long")
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {1}
+
+
+def test_clusters_to_pairs(spark):
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "id long, component long"
+    )
+    pairs = {(r.id_a, r.id_b) for r in clusters_to_pairs(assign).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "name_x string, name_y string")
+
+
+def test_assess_perfect(spark):
+    # reference: test-assessment.R perfect case
+    z = _pairs_df(spark, [("a", "a1"), ("b", "b1")])
+    a = assess_match_performance(z, z, n_x=2, n_y=2)
+    assert (a.tp, a.fp, a.fn, a.tn) == (2, 0, 0, 2)
+    assert a.f1 == 1.0
+
+
+def test_assess_all_wrong(spark):
+    z = _pairs_df(spark, [("a", "b1"), ("b", "a1")])
+    t = _pairs_df(spark, [("a", "a1"), ("b", "b1")])
+    a = assess_match_performance(z, t, n_x=2, n_y=2)
+    assert (a.tp, a.fp, a.fn) == (0, 2, 2)
+    assert a.f1 == 0.0
+
+
+def test_assess_partial(spark):
+    z = _pairs_df(spark, [("a", "a1"), ("b", "WRONG")])
+    t = _pairs_df(spark, [("a", "a1"), ("b", "b1")])
+    a = assess_match_performance(z, t, n_x=2, n_y=3)
+    assert (a.tp, a.fp, a.fn) == (1, 1, 1)
+    assert a.tn == 2 * 3 - 3
+    assert a.precision == 0.5 and a.recall == 0.5
+
+
+def test_assess_empty_prediction(spark):
+    z = _pairs_df(spark, [])
+    t = _pairs_df(spark, [("a", "a1")])
+    a = assess_match_performance(z, t, n_x=1, n_y=1)
+    assert (a.tp, a.fp, a.fn, a.tn) == (0, 0, 1, 0)
+    assert a.f1 == 0.0
+
+
+def test_assess_duplicate_pairs_deduped(spark):
+    # reference dedups pair sets before counting (AssessMatches.R:73-76)
+    z = _pairs_df(spark, [("a", "a1"), ("a", "a1"), ("a", "a1")])
+    t = _pairs_df(spark, [("a", "a1")])
+    a = assess_match_performance(z, t, n_x=1, n_y=1)
+    assert (a.tp, a.fp, a.fn, a.tn) == (1, 0, 0, 0)

@@ -1,0 +1,142 @@
+"""Corpus dedup / ANN / text-analysis operators on the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark.functions.text import (
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+    word_shingles_expr,
+)
+from linkorgs_software_spark.operators.ann import brute_force_topk, lsh_topk
+from linkorgs_software_spark.operators.corpus import (
+    embedding_neardup,
+    exact_dup_groups,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    simhash_dups,
+    simhash_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("   ",)], "text string")
+    assert [r.n for r in df.select(token_count_expr("text").alias("n")).collect()] == [3, 0, 0]
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([("hello, world 123",)], "text string")
+    # hell+o, ',', worl+d, 123 => 6
+    assert df.select(bpe_ish_token_count_expr("text").alias("n")).first().n == 6
+
+
+def test_stopword_and_quality_bounds(docs):
+    rows = docs.select(
+        stopword_ratio_expr("text").alias("sw"), quality_score_expr("text").alias("q")
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.sw <= 1.0
+        assert 0.0 <= r.q <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",),
+         ("el gato y la casa de la madre que",),
+         ("zzz qqq www",)],
+        "text string",
+    )
+    langs = [r.l for r in df.select(lang_id_expr("text").alias("l")).collect()]
+    assert langs == ["en", "es", "und"]
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "text string")
+    fps = [r.f for r in df.select(fingerprint_expr("text").alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    # closed-form check: ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert fps[0] == ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(word_shingles_expr("text", 3).alias("s")).first().s
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_exact_dups_detects_planted(spark, docs):
+    planted = docs.limit(3).unionAll(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    out = exact_dup_groups(planted)
+    assert out.filter("group_size = 2").count() == 6
+    assert out.filter("keep").count() == 3
+
+
+def test_ngram_jaccard_self_dup(spark, docs):
+    two = docs.limit(1)
+    both = two.unionAll(two.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = ngram_jaccard_dups(both, threshold=0.99)
+    r = out.first()
+    assert out.count() == 1 and r.jaccard_sim == 1.0
+
+
+def test_minhash_lsh_finds_exact_dup_and_agrees_with_jaccard(spark, docs):
+    two = docs.limit(2)
+    planted = two.unionAll(two.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = minhash_lsh_dups(planted, threshold=0.99)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 100000) in pairs or (100000, 0) in pairs
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    sig = docs.limit(5).select("doc_id", simhash_expr("text").alias("s"))
+    planted = docs.limit(5)
+    both = planted.unionAll(planted.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = simhash_dups(both, max_hamming=0)
+    ids = {(r.id_a, r.id_b) for r in out.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in ids
+
+
+def test_embedding_neardup_planted(spark, emb):
+    one = emb.limit(1)
+    planted = one.unionAll(one.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = embedding_neardup(planted, threshold=0.999)
+    r = out.first()
+    assert r.id_a == 0 and r.id_b == 100000
+    assert r.cosine_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_brute_force_topk_self_is_rank1(spark, emb):
+    q = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, q, k=5)
+    top1 = {r.query_id: r.vec_id for r in out.filter("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, q, k=3)
+    approx = lsh_topk(emb, q, k=3, num_tables=4, n_planes=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-match must always be found; overall recall loose but nonzero
+    assert all((i, i) in a for i in range(5))
+    assert len(e & a) / len(e) >= 0.4

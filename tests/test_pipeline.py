@@ -1,0 +1,172 @@
+"""End-to-end linkage workflows — mirrors reference
+test-linkorgs-workflows.R, test-network-cache.R, test-integration.R,
+test-edge-cases.R (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark import (
+    LinkConfig,
+    assess_match_performance,
+    link_orgs,
+)
+
+
+def test_fuzzy_perfect_recall(spark, fixture_tables):
+    z = link_orgs(
+        fixture_tables["org_x"], fixture_tables["org_y"], LinkConfig(), algorithm="fuzzy"
+    )
+    a = assess_match_performance(
+        z.selectExpr("name_x", "name_y"),
+        fixture_tables["z_true"],
+        n_x=60,
+        n_y=60,
+    )
+    assert a.recall == 1.0
+
+
+def test_alias_one_to_one_f1_gate(spark, fixture_tables):
+    """The north-rule quality gate: pairwise F1 >= 0.99 on labeled pairs."""
+    z = link_orgs(
+        fixture_tables["org_x"],
+        fixture_tables["org_y"],
+        LinkConfig(),
+        algorithm="alias",
+        directory=fixture_tables["alias_directory"],
+        one_to_one=True,
+    )
+    a = assess_match_performance(
+        z.selectExpr("name_x", "name_y"),
+        fixture_tables["z_true"],
+        n_x=60,
+        n_y=60,
+    )
+    assert a.f1 >= 0.99
+
+
+def test_network_bridge_links_tiny_directory(spark):
+    """Reference test-network-cache.R:5-169 canonical case: alias bridging
+    links 'apple llc' <-> 'apple corp' through canonical_id A."""
+    x = spark.createDataFrame([(1, "apple llc"), (2, "oracle x")], "id long, name string")
+    y = spark.createDataFrame([(1, "apple corp"), (2, "zzz qqq")], "id long, name string")
+    directory = spark.createDataFrame(
+        [
+            ("apple llc", "A", 1.0),
+            ("apple corp", "A", 1.0),
+            ("microsoft inc", "M", 1.0),
+            ("microsoft corporation", "M", 1.0),
+        ],
+        "alias_name string, canonical_id string, weights double",
+    )
+    cfg = LinkConfig(max_dist=0.2, max_dist_network=0.0)
+    z = link_orgs(x, y, cfg, algorithm="alias", directory=directory)
+    pairs = {(r.name_x, r.name_y) for r in z.collect()}
+    assert ("apple llc", "apple corp") in pairs
+    # raw fuzzy at 0.2 would never match them; evidence is network-only
+    row = z.filter(F.col("name_x") == "apple llc").first()
+    assert row.netdist_x == 0.0 and row.netdist_y == 0.0
+    assert row.minDist == 0.0
+
+
+def test_lookup_exact_alias_join(spark):
+    x = spark.createDataFrame([(1, "Apple LLC")], "id long, name string")
+    y = spark.createDataFrame([(1, "apple corp")], "id long, name string")
+    directory = spark.createDataFrame(
+        [("apple llc", "A", 1.0), ("apple corp", "A", 1.0)],
+        "alias_name string, canonical_id string, weights double",
+    )
+    z = link_orgs(x, y, LinkConfig(), algorithm="lookup", directory=directory)
+    assert z.count() == 1
+
+
+def test_decomposition_slots(spark, fixture_tables):
+    out = link_orgs(
+        fixture_tables["org_x"],
+        fixture_tables["org_y"],
+        LinkConfig(max_dist=0.5),
+        algorithm="alias",
+        directory=fixture_tables["alias_directory"],
+        decomposition=True,
+    )
+    assert set(out) == {"z", "z_raw_names", "z_network"}
+    assert out["z"].count() > 0
+    assert out["z_network"].count() > 0
+
+
+def test_score_fusion_arithmetic(spark):
+    """minDist = RelThres * max(netx, nety) + stringdist when both present."""
+    x = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    y = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    directory = spark.createDataFrame(
+        [("acme corp", "A", 1.0)], "alias_name string, canonical_id string, weights double"
+    )
+    z = link_orgs(
+        x, y, LinkConfig(max_dist=0.4, max_dist_network=0.4),
+        algorithm="alias", directory=directory,
+    )
+    row = z.first()
+    # exact name both ways: raw dist 0, net dists 0 -> fused 0
+    assert row.minDist == 0.0
+
+
+def test_empty_inputs(spark):
+    empty = spark.createDataFrame([], "id long, name string")
+    y = spark.createDataFrame([(1, "name a")], "id long, name string")
+    assert link_orgs(empty, y, LinkConfig(max_dist=0.5)).count() == 0
+
+
+def test_single_row_self_match(spark):
+    x = spark.createDataFrame([(1, "solo company")], "id long, name string")
+    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    assert z.count() == 1
+    assert z.first().stringdist == 0.0
+
+
+def test_very_long_names(spark):
+    # reference: test-edge-cases.R 1200-char names
+    long_name = "a b " * 300
+    x = spark.createDataFrame([(1, long_name)], "id long, name string")
+    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    assert z.count() == 1
+
+
+def test_duplicate_names_single_pair(spark):
+    x = spark.createDataFrame(
+        [(1, "dup co"), (2, "dup co"), (3, "dup co")], "id long, name string"
+    )
+    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    # ids are name hashes: output granularity is distinct name pairs
+    assert z.count() == 1
+
+
+def test_embed_algorithm_runs(spark, fixture_tables):
+    z = link_orgs(
+        fixture_tables["org_x"],
+        fixture_tables["org_y"],
+        LinkConfig(),
+        algorithm="embed",
+        one_to_one=True,
+    )
+    a = assess_match_performance(
+        z.selectExpr("name_x", "name_y"), fixture_tables["z_true"], n_x=60, n_y=60
+    )
+    assert a.recall >= 0.9  # hash-embedding kernel is a stand-in, not the gate
+
+
+def test_deterministic_across_runs(spark, fixture_tables):
+    cfg = LinkConfig()
+    z1 = link_orgs(fixture_tables["org_x"], fixture_tables["org_y"], cfg, one_to_one=True)
+    z2 = link_orgs(fixture_tables["org_x"], fixture_tables["org_y"], cfg, one_to_one=True)
+    p1 = sorted((r.name_x, r.name_y) for r in z1.collect())
+    p2 = sorted((r.name_x, r.name_y) for r in z2.collect())
+    assert p1 == p2
+
+
+def test_no_per_row_python_in_default_plan(spark, fixture_tables):
+    """North rule: no per-row Python. Default (jaccard) plan must contain no
+    BatchEvalPython (row-at-a-time UDF) nodes at all."""
+    z = link_orgs(
+        fixture_tables["org_x"], fixture_tables["org_y"], LinkConfig(max_dist=0.5)
+    )
+    plan = z._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,105 @@
+"""Scorer oracle constants — mirrors reference test-fuzzy-matching.R /
+test-euclidean-matching.R / test-distance-calculation.R (SURVEY.md §5)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark.functions.embedding import (
+    cosine_sim_expr,
+    l2_dist_expr,
+    l2_dist_udf,
+)
+from linkorgs_software_spark.functions.scorers import (
+    _jaro_pair,
+    _osa_pair,
+    available_measures,
+    distance_expr,
+)
+
+
+def _one(spark, a, b, measure, q=2):
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    return df.select(distance_expr(measure, "a", "b", qgram=q).alias("d")).first().d
+
+
+def test_identical_strings_zero(spark):
+    # reference: test-fuzzy-matching.R:5-17 ("test company" vs itself -> 0)
+    for m in ("jaccard", "osa", "jw", "levenshtein"):
+        assert _one(spark, "test company", "test company", m) == 0.0
+
+
+def test_osa_single_insertion_is_one(spark):
+    # reference: test-fuzzy-matching.R:72-84
+    d = _one(spark, "apple incorporated company", "appple incorporated company", "osa")
+    assert d == 1.0
+
+
+def test_osa_transposition_counts_once(spark):
+    assert _one(spark, "ab", "ba", "osa") == 1.0
+    assert _one(spark, "abcd", "abdc", "osa") == 1.0
+
+
+def test_jw_small_positive(spark):
+    # reference: test-fuzzy-matching.R:86-99 (jw in (0, 0.5))
+    d = _one(spark, "apple incorporated company", "appple incorporated company", "jw")
+    assert 0.0 < d < 0.5
+
+
+def test_jaro_known_value():
+    # classic MARTHA/MARHTA Jaro similarity = 0.944444
+    assert _jaro_pair("martha", "marhta") == pytest.approx(0.9444444, abs=1e-6)
+
+
+def test_osa_vs_levenshtein_difference():
+    # OSA counts transposition as 1; plain levenshtein as 2
+    assert _osa_pair("ca", "ac") == 1.0
+
+
+def test_levenshtein_native(spark):
+    assert _one(spark, "kitten", "sitting", "levenshtein") == 3.0
+
+
+def test_jaccard_qgram_set_semantics(spark):
+    # q=2 grams: "aaa" -> {aa, a}; "aa" -> {aa, a}  => distance 0 (sets!)
+    assert _one(spark, "aaa", "aa", "jaccard") == 0.0
+    # disjoint grams -> 1.0
+    assert _one(spark, "abab", "cdcd", "jaccard") == 1.0
+
+
+def test_unknown_measure_raises():
+    with pytest.raises(ValueError, match="unknown distance measure"):
+        distance_expr("nope", F.lit("a"), F.lit("b"))
+
+
+def test_available_measures_contains_core():
+    ms = available_measures()
+    for m in ("jaccard", "levenshtein", "osa", "jw", "jw_winkler", "jaro"):
+        assert m in ms
+
+
+def test_l2_identity_and_orthogonal(spark):
+    # reference: test-euclidean-matching.R:5-34 (identity ~0, orthogonal sqrt2)
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(
+        l2_dist_udf("a", "b").alias("udf"), l2_dist_expr("a", "b").alias("native")
+    ).collect()
+    assert rows[0].udf == pytest.approx(0.0, abs=1e-6)
+    assert rows[0].native == pytest.approx(0.0, abs=1e-6)
+    assert rows[1].udf == pytest.approx(math.sqrt(2), abs=1e-3)
+    assert rows[1].native == pytest.approx(math.sqrt(2), abs=1e-3)
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine_sim_expr("a", "b").alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0, abs=1e-6)
+    assert vals[1] == pytest.approx(0.0, abs=1e-6)
+    assert vals[2] == 0.0  # zero-vector convention
