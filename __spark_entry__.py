@@ -1,38 +1,542 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship blocked-fuzzy linkage on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2) over the driver parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for each. Hash portability rules: every hash
+crossing the oracle boundary is md5-of-visible-string; every float output is
+either exact integer-ratio arithmetic or explicitly rounded; every aggregate
+that would be order-sensitive in fp is computed in decimal then cast.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark.config import LinkConfig
+from linkorgs_software_spark.functions.normalize import NORM_COL, normalize_expr, prepare_side
+from linkorgs_software_spark.functions.qgrams import jaccard_qgram_dist_expr, qgram_set_expr
+from linkorgs_software_spark.functions.text import (
+    bpe_ish_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    punct_ratio_expr,
+    quality_score_expr,
+    stopword_ratio_expr,
+    token_count_expr,
+)
+from linkorgs_software_spark.operators.ann import brute_force_topk
+from linkorgs_software_spark.operators.blocking import candidate_pairs
+from linkorgs_software_spark.operators.cluster import connected_components
+from linkorgs_software_spark.operators.corpus import (
+    embedding_neardup,
+    exact_dup_groups,
+    minhash_signatures,
+    simhash_expr,
+)
+from linkorgs_software_spark.operators.dedup import keep_min_per_group
+from linkorgs_software_spark.operators.scoring import score_pairs
+from linkorgs_software_spark.plans.pipeline import link_orgs
+
+CFG = LinkConfig()
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _org_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic x/y org-name tables derived from ``part``:
+    x = distinct part names, y = distinct 'name brand' variants."""
+    part = _read(spark, sf_dir, "part")
+    x = part.select(F.col("p_name").alias("name")).distinct()
+    y = part.select(
+        F.concat_ws(" ", F.col("p_name"), F.col("p_brand")).alias("name")
+    ).distinct()
+    return x, y
+
+
+def _prepared_sides(spark, sf_dir):
+    x, y = _org_sides(spark, sf_dir)
+    return (
+        prepare_side(x, "name", "x_id", CFG),
+        prepare_side(y, "name", "y_id", CFG),
+    )
+
+
+def _scored_pairs(spark, sf_dir, max_dist=0.5):
+    xp, yp = _prepared_sides(spark, sf_dir)
+    cands = candidate_pairs(xp, yp, CFG)
+    return score_pairs(cands, xp, yp, CFG, max_dist=max_dist).select(
+        F.col("name_norm_x").alias("name_x"),
+        F.col("name_norm_y").alias("name_y"),
+        F.col("stringdist"),
+    )
+
+
+def _truth_pairs(spark, sf_dir):
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        normalize_expr("p_name").alias("name_x"),
+        normalize_expr(F.concat_ws(" ", F.col("p_name"), F.col("p_brand"))).alias("name_y"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# shared derivations (DuckDB oracle SQL)
+# ---------------------------------------------------------------------------
+
+
+def _norm_sql(c: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + c + "), "
+        "'[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+# trigram index windows with short tails, positions 1..min(len,100), distinct
+def _tri_sql(s: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, least(length({s}),100)+1), "
+        f"i -> {s}[i:i+2]))"
+    )
+
+
+# full-length-only distinct q=2 grams (scoring sets)
+def _bigram_sql(s: str) -> str:
+    return (
+        f"list_distinct(list_filter(list_transform(range(1, length({s})+1), "
+        f"i -> {s}[i:i+1]), g -> length(g)=2))"
+    )
+
+
+_XY_SQL = f"""
+xs as (select distinct {_norm_sql('p_name')} as name_x from part),
+ys as (select distinct {_norm_sql("p_name || ' ' || p_brand")} as name_y from part)
+"""
+
+_BLOCK_SQL = f"""
+with {_XY_SQL},
+xt as (select name_x, unnest({_tri_sql('name_x')}) as gram from xs),
+yt as (select name_y, unnest({_tri_sql('name_y')}) as gram from ys),
+xn as (select name_x, count(*) as n_grams_x from xt group by 1),
+shared as (
+  select xt.name_x, yt.name_y, count(*) as shared_grams
+  from xt join yt using (gram) group by 1, 2)
+select s.name_x, s.name_y, s.shared_grams, xn.n_grams_x
+from shared s join xn using (name_x)
+where s.shared_grams >= ceil(0.05 * xn.n_grams_x)
+"""
+
+_SCORED_SQL = f"""
+with {_XY_SQL},
+xt as (select name_x, unnest({_tri_sql('name_x')}) as gram from xs),
+yt as (select name_y, unnest({_tri_sql('name_y')}) as gram from ys),
+xn as (select name_x, count(*) as n_grams_x from xt group by 1),
+cand as (
+  select xt.name_x, yt.name_y, count(*) as shared_grams
+  from xt join yt using (gram) group by 1, 2),
+blocked as (
+  select c.name_x, c.name_y from cand c join xn using (name_x)
+  where c.shared_grams >= ceil(0.05 * xn.n_grams_x)),
+scored as (
+  select name_x, name_y,
+    1.0 - len(list_intersect({_bigram_sql('name_x')}, {_bigram_sql('name_y')}))::double
+        / len(list_distinct(list_concat({_bigram_sql('name_x')}, {_bigram_sql('name_y')})))::double
+    as stringdist
+  from blocked)
+select name_x, name_y, stringdist from scored where stringdist <= 0.5
+"""
+
+_TOKENS_SQL = (
+    "case when length(trim(lower(text))) = 0 then []::varchar[] "
+    "else string_split_regex(trim(lower(text)), '\\s+') end"
+)
+
+_STOPWORDS = (
+    "'the','a','an','and','or','of','to','in','is','for','on','with','as',"
+    "'by','at','from','that','this','it','be'"
+)
+
+_LANGS = {
+    "de": "'der','die','und','das','ist'",
+    "en": "'the','and','of','to','is'",
+    "es": "'el','la','de','que','y'",
+    "fr": "'le','la','de','et','les'",
+}
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        s = (
+            f"case when coalesce(list_sum(list_transform(toks, "
+            f"t -> (ascii(substr(md5(t), {j + 1}, 1)) % 2) * 2 - 1)), 0) > 0 "
+            f"then {2 ** j} else 0 end"
+        )
+        terms.append(s)
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: blocked fuzzy linkage of part names vs brand variants."""
+    x, y = _org_sides(spark, "/root/testdata/sf0.001")
+    return link_orgs(x, y, CFG.with_(max_dist=0.5), algorithm="fuzzy").select(
+        "name_x", "name_y", "stringdist", "minDist"
+    )
+
+
+def _q_normalize(spark, sf_dir):
+    return _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), normalize_expr("c_name").alias("name_norm")
+    )
+
+
+def _q_block_candidates(spark, sf_dir):
+    xp, yp = _prepared_sides(spark, sf_dir)
+    pairs = candidate_pairs(xp, yp, CFG)
+    xn = xp.select("x_id", F.col(NORM_COL).alias("name_x")).dropDuplicates(["x_id"])
+    yn = yp.select("y_id", F.col(NORM_COL).alias("name_y")).dropDuplicates(["y_id"])
+    return (
+        pairs.join(xn, "x_id")
+        .join(yn, "y_id")
+        .select("name_x", "name_y", "shared_grams", "n_grams_x")
+    )
+
+
+def _q_jaccard_scored(spark, sf_dir):
+    return _scored_pairs(spark, sf_dir, max_dist=0.5)
+
+
+def _q_keep_best(spark, sf_dir):
+    scored = _scored_pairs(spark, sf_dir, max_dist=0.5)
+    return keep_min_per_group(scored, ["name_x"], "stringdist", tiebreak_cols=["name_y"])
+
+
+def _q_assess_counts(spark, sf_dir):
+    pred = _q_keep_best(spark, sf_dir).select("name_x", "name_y")
+    truth = _truth_pairs(spark, sf_dir)
+    keys = ["name_x", "name_y"]
+    tp = pred.join(truth, keys, "left_semi").count()
+    fp = pred.join(truth, keys, "left_anti").count()
+    fn = truth.join(pred, keys, "left_anti").count()
+    n_x = _org_sides(spark, sf_dir)[0].select(normalize_expr("name")).distinct().count()
+    n_y = _org_sides(spark, sf_dir)[1].select(normalize_expr("name")).distinct().count()
+    tn = n_x * n_y - tp - fp - fn
+    return spark.createDataFrame(
+        [(tp, fp, fn, tn)], "tp long, fp long, fn long, tn long"
+    )
+
+
+def _q_alias_bridge(spark, sf_dir):
+    part = _read(spark, sf_dir, "part")
+    x, y = _org_sides(spark, sf_dir)
+    d1 = part.select(
+        F.col("p_name").alias("alias_name"),
+        normalize_expr("p_name").alias("canonical_id"),
+        F.lit(1.0).alias("weights"),
+    )
+    d2 = part.select(
+        F.concat_ws(" ", "p_name", "p_brand").alias("alias_name"),
+        normalize_expr("p_name").alias("canonical_id"),
+        F.lit(1.0).alias("weights"),
+    )
+    directory = d1.unionByName(d2).distinct()
+    z = link_orgs(x, y, CFG, algorithm="lookup", directory=directory)
+    return z.select("name_x", "name_y", "canonical_id")
+
+
+def _q_connected_components(spark, sf_dir):
+    sup = _read(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + F.lit(100000)).alias("dst"),
+    )
+    return connected_components(edges).select("id", "component")
+
+
+def _q_doc_stats(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        bpe_ish_token_count_expr("text").alias("n_bpe_tokens"),
+        F.round(punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score_expr("text"), 6).alias("quality"),
+        lang_id_expr("text").alias("lang_pred"),
+        fingerprint_expr("text").alias("fingerprint"),
+    )
+
+
+def _q_exact_dup(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dup_groups(docs)
+
+
+def _q_minhash_sig(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=4)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    out = embedding_neardup(emb, threshold=0.30)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=3).select("query_id", "vec_id", "rank")
+
+
+def _q_events_running(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def _q_lineitem_agg(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("sum_disc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _q_segment_orders(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def _q_link_fuzzy_full(spark, sf_dir):
+    """Full pipeline incl. seeded calibration — calibration(approxQuantile)
+    is not ANSI-SQL-expressible; rows-only check."""
+    x, y = _org_sides(spark, sf_dir)
+    return link_orgs(x, y, CFG, algorithm="fuzzy", one_to_one=True).select(
+        "name_x", "name_y", "stringdist", "minDist"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "normalize": _q_normalize,
+        "block_candidates": _q_block_candidates,
+        "jaccard_scored": _q_jaccard_scored,
+        "keep_best": _q_keep_best,
+        "assess_counts": _q_assess_counts,
+        "alias_bridge": _q_alias_bridge,
+        "connected_components": _q_connected_components,
+        "doc_stats": _q_doc_stats,
+        "exact_dup": _q_exact_dup,
+        "minhash_sig": _q_minhash_sig,
+        "simhash": _q_simhash,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "events_running": _q_events_running,
+        "lineitem_agg": _q_lineitem_agg,
+        "segment_orders": _q_segment_orders,
+        "link_fuzzy_full": _q_link_fuzzy_full,  # no oracle: calibration
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKENS_SQL
+    n_tok = f"len({toks})"
+    sw = (
+        f"case when {n_tok} = 0 then 0.0 else "
+        f"len(list_filter({toks}, t -> t in ({_STOPWORDS})))::double / {n_tok} end"
+    )
+    pr = (
+        "case when length(text) = 0 then 0.0 else "
+        "(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::double"
+        " / length(text) end"
+    )
+    lang_counts = {
+        lang: f"len(list_filter({toks}, t -> t in ({words})))"
+        for lang, words in _LANGS.items()
+    }
+    lang_max = f"greatest({', '.join(lang_counts.values())})"
+    lang_case = (
+        f"case when {lang_max} = 0 then 'und' "
+        + " ".join(
+            f"when {lang_counts[lang]} = {lang_max} then '{lang}'"
+            for lang in ("de", "en", "es")
+        )
+        + " else 'fr' end"
+    )
+    fp = (
+        "case when length(text) = 0 then 0 else "
+        "list_reduce(list_transform(regexp_extract_all(text, '.'), "
+        "c -> ascii(c)::bigint), (a, b) -> (a * 31 + b) % 1000000007) end"
+    )
+    quality = (
+        f"greatest(least(0.5 * least({n_tok} / 20.0, 1.0) "
+        f"+ 0.5 * least(({sw}) * 4.0, 1.0) - 0.25 * ({pr}), 1.0), 0.0)"
+    )
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks})-3, 0)+2), "
+        f"i -> array_to_string(({toks})[i:i+2], ' ')))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> a.embedding[i]::double * b.embedding[i]::double))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> {v}.embedding[i]::double * {v}.embedding[i]::double)))"
+    )
+    cos = f"({dot}) / ({nrm.format(v='a')} * {nrm.format(v='b')})"
+
+    return {
+        "normalize": (
+            f"select c_custkey, {_norm_sql('c_name')} as name_norm from customer"
+        ),
+        "block_candidates": _BLOCK_SQL,
+        "jaccard_scored": _SCORED_SQL,
+        "keep_best": f"""
+with scored as ({_SCORED_SQL})
+select name_x, name_y, stringdist from (
+  select *, row_number() over (
+    partition by name_x order by stringdist asc, name_y asc) as rn
+  from scored) where rn = 1
+""",
+        "assess_counts": f"""
+with scored as ({_SCORED_SQL}),
+pred as (
+  select name_x, name_y from (
+    select *, row_number() over (
+      partition by name_x order by stringdist asc, name_y asc) as rn
+    from scored) where rn = 1),
+truth as (select distinct {_norm_sql('p_name')} as name_x,
+                 {_norm_sql("p_name || ' ' || p_brand")} as name_y from part),
+tp as (select count(*) c from pred where (name_x, name_y) in (select (name_x, name_y) from truth)),
+fp as (select count(*) c from pred where (name_x, name_y) not in (select (name_x, name_y) from truth)),
+fn as (select count(*) c from truth where (name_x, name_y) not in (select (name_x, name_y) from pred)),
+u as (select (select count(distinct {_norm_sql('p_name')}) from part)::bigint
+        * (select count(distinct {_norm_sql("p_name || ' ' || p_brand")}) from part)::bigint as total)
+select tp.c as tp, fp.c as fp, fn.c as fn,
+       u.total - tp.c - fp.c - fn.c as tn
+from tp, fp, fn, u
+""",
+        "alias_bridge": f"""
+select distinct p_name as name_x,
+       p_name || ' ' || p_brand as name_y,
+       {_norm_sql('p_name')} as canonical_id
+from part
+""",
+        "connected_components": """
+with comp as (select s_nationkey, min(s_suppkey) as m from supplier group by 1)
+select s.s_suppkey::bigint as id, c.m::bigint as component
+from supplier s join comp c using (s_nationkey)
+union all
+select distinct (100000 + s_nationkey)::bigint as id, c.m::bigint as component
+from supplier s join comp c using (s_nationkey)
+""",
+        "doc_stats": f"""
+select doc_id,
+  {n_tok} as n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\s]')) as n_bpe_tokens,
+  round({pr}, 6) as punct_ratio,
+  round({sw}, 6) as stopword_ratio,
+  round({quality}, 6) as quality,
+  {lang_case} as lang_pred,
+  {fp} as fingerprint
+from documents
+""",
+        "exact_dup": """
+with h as (select doc_id, md5(text) as dup_group from documents),
+g as (select dup_group, count(*) as group_size, min(doc_id) as keep_id
+      from h group by 1)
+select h.doc_id, h.dup_group, g.group_size, (h.doc_id = g.keep_id) as keep
+from h join g using (dup_group)
+""",
+        "minhash_sig": f"""
+with sh as (select doc_id as id, unnest({shingles}) as s from documents)
+select id, min(md5('0:' || s)) as h0, min(md5('1:' || s)) as h1,
+       min(md5('2:' || s)) as h2, min(md5('3:' || s)) as h3
+from sh group by id
+""",
+        "simhash": f"""
+with t as (select doc_id, {toks} as toks from documents)
+select doc_id, ({_simhash_sql(16)})::bigint as simhash from t
+""",
+        "embedding_neardup": f"""
+select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 4) as cosine_sim
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {cos} >= 0.30
+""",
+        "ann_topk": f"""
+with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
+scored as (
+  select q.query_id, b.vec_id,
+    (list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * b.embedding[i]::double)))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * q.embedding[i]::double)))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::double * b.embedding[i]::double))))
+    as cos
+  from embeddings b, q)
+select query_id, vec_id, rank from (
+  select query_id, vec_id,
+    row_number() over (partition by query_id order by cos desc, vec_id asc) as rank
+  from scored) where rank <= 3
+""",
+        "events_running": """
+select event_id, user_id,
+  round(sum(value) over (
+    partition by user_id order by ts, event_id
+    rows between unbounded preceding and current row), 6) as running_value
+from events
+""",
+        "lineitem_agg": """
+select l_returnflag, l_linestatus,
+  (sum(l_quantity::decimal(18,2)))::double as sum_qty,
+  (sum(l_extendedprice::decimal(18,2)))::double as sum_price,
+  (sum(l_discount::decimal(18,2)))::double as sum_disc,
+  count(*) as cnt
+from lineitem group by 1, 2
+""",
+        "segment_orders": """
+select c_mktsegment, count(*) as n_orders,
+  (sum(o_totalprice::decimal(18,2)))::double as total_price
+from orders join customer on o_custkey = c_custkey
+group by 1
+""",
+    }

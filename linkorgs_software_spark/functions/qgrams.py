@@ -34,9 +34,20 @@ def qgram_array_expr(col: Column | str, q: int, *, prefix_cap: int | None = None
     return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
-def qgram_set_expr(col: Column | str, q: int, *, prefix_cap: int | None = None) -> Column:
-    """Distinct q-grams (set semantics — what jaccard operates over)."""
-    return F.array_distinct(qgram_array_expr(col, q, prefix_cap=prefix_cap))
+def qgram_set_expr(
+    col: Column | str, q: int, *, prefix_cap: int | None = None, full_only: bool = True
+) -> Column:
+    """Distinct q-grams (set semantics — what jaccard operates over).
+
+    ``full_only=True`` (default) keeps only full-length q-grams — the R
+    ``stringdist`` jaccard convention; strings shorter than q yield the
+    empty set. The blocking index instead keeps short tail windows
+    (``full_only=False``), matching the reference's index builder.
+    """
+    grams = qgram_array_expr(col, q, prefix_cap=prefix_cap)
+    if full_only:
+        grams = F.filter(grams, lambda g: F.length(g) == q)
+    return F.array_distinct(grams)
 
 
 def jaccard_qgram_dist_expr(a_set: Column | str, b_set: Column | str) -> Column:
@@ -72,7 +83,9 @@ def explode_qgrams(
     return (
         df.select(
             F.col(id_col),
-            F.explode(qgram_set_expr(name_col, q, prefix_cap=prefix_cap)).alias(out_col),
+            F.explode(
+                qgram_set_expr(name_col, q, prefix_cap=prefix_cap, full_only=False)
+            ).alias(out_col),
         )
         .dropDuplicates([id_col, out_col])
     )

@@ -119,33 +119,124 @@ def _jw_pair(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
     return j + prefix * p * (1.0 - j)
 
 
-def _vectorize_pair_kernel(fn: Callable[[str, str], float]):
-    def batch(a: pd.Series, b: pd.Series) -> pd.Series:
-        av = a.fillna("").to_numpy(dtype=object)
-        bv = b.fillna("").to_numpy(dtype=object)
-        out = np.empty(len(av), dtype=np.float64)
-        for k in range(len(av)):
-            out[k] = fn(av[k], bv[k])
-        return pd.Series(out)
+# ---------------------------------------------------------------------------
+# Batch-vectorized kernels: the DP/match loops run over *cell indices*
+# (len_a x len_b python iterations) while every operation inside is a numpy
+# op over the whole Arrow batch — per-pair cost amortizes to a few
+# microseconds instead of the ~1ms of a per-pair python DP. The scalar
+# kernels above stay as the readable reference implementation; tests assert
+# batch == scalar.
+# ---------------------------------------------------------------------------
 
-    return batch
+_MAX_KERNEL_CHARS = 64  # DP cost is O(LaxLb); cap like the reference caps
+                        # trigram windows at 100 chars (BuildHelpers.R:194)
+
+
+def _code_matrix(strs: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """(N, L) int32 char-code matrix (0-padded) + (N,) lengths."""
+    lens = np.fromiter((min(len(s), cap) for s in strs), dtype=np.int64, count=len(strs))
+    L = int(lens.max()) if len(lens) else 0
+    M = np.zeros((len(strs), max(L, 1)), dtype=np.int32)
+    for n, s in enumerate(strs):
+        ln = lens[n]
+        if ln:
+            M[n, :ln] = np.frombuffer(s[:ln].encode("utf-32-le"), dtype=np.uint32)
+    return M, lens
+
+
+def _osa_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    N = len(a_strs)
+    A, la = _code_matrix(a_strs, _MAX_KERNEL_CHARS)
+    B, lb = _code_matrix(b_strs, _MAX_KERNEL_CHARS)
+    La, Lb = A.shape[1], B.shape[1]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (N, 1))
+    prev2 = np.zeros_like(prev)
+    out_rows = prev.copy()  # rows with la == 0
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]  # (N,1)
+        cost = (ai != B[:, : Lb]).astype(np.int64)  # (N,Lb)
+        for j in range(1, Lb + 1):
+            d = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1],
+            )
+            if i > 1 and j > 1:
+                trans = (A[:, i - 1] == B[:, j - 2]) & (A[:, i - 2] == B[:, j - 1])
+                d = np.where(trans, np.minimum(d, prev2[:, j - 2] + 1), d)
+            cur[:, j] = d
+        done = la == i
+        if done.any():
+            out_rows[done] = cur[done]
+        prev2, prev = prev, cur
+    return out_rows[np.arange(N), lb].astype(np.float64)
+
+
+def _jaro_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    N = len(a_strs)
+    A, la = _code_matrix(a_strs, _MAX_KERNEL_CHARS)
+    B, lb = _code_matrix(b_strs, _MAX_KERNEL_CHARS)
+    La, Lb = A.shape[1], B.shape[1]
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    a_match = np.zeros((N, La), dtype=bool)
+    b_match = np.zeros((N, Lb), dtype=bool)
+    for i in range(La):
+        found = ~(i < la)  # rows where position i is out of range: "found"
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(lb, i + window + 1)
+        ai = A[:, i]
+        for j in range(Lb):
+            cand = (~found) & (~b_match[:, j]) & (j >= lo) & (j < hi) & (B[:, j] == ai)
+            b_match[:, j] |= cand
+            a_match[:, i] |= cand
+            found |= cand
+    m = a_match.sum(axis=1).astype(np.float64)
+    # ordered matched chars via stable sort putting matched positions first
+    ia = np.argsort(~a_match, axis=1, kind="stable")
+    ib = np.argsort(~b_match, axis=1, kind="stable")
+    amc = np.take_along_axis(A, ia, axis=1)
+    bmc = np.take_along_axis(B, ib, axis=1)
+    K = min(La, Lb)
+    pos = np.arange(K)[None, :]
+    valid = pos < m[:, None]
+    t = ((amc[:, :K] != bmc[:, :K]) & valid).sum(axis=1) // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = (m / la + m / lb + (m - t) / m) / 3.0
+    sim = np.where(m == 0, 0.0, sim)
+    both_empty = (la == 0) & (lb == 0)
+    return np.where(both_empty, 1.0, sim)
+
+
+def _jw_batch(a_strs, b_strs, p: float = 0.1, max_prefix: int = 4) -> np.ndarray:
+    j = _jaro_batch(a_strs, b_strs)
+    A, la = _code_matrix(a_strs, max_prefix)
+    B, lb = _code_matrix(b_strs, max_prefix)
+    K = min(A.shape[1], B.shape[1], max_prefix)
+    eq = A[:, :K] == B[:, :K]
+    pos_valid = (np.arange(K)[None, :] < la[:, None]) & (np.arange(K)[None, :] < lb[:, None])
+    eq = eq & pos_valid
+    prefix = (np.cumprod(eq, axis=1) if K else np.zeros((len(la), 0))).sum(axis=1)
+    return j + prefix * p * (1.0 - j)
+
+
+def _as_str_array(s: pd.Series) -> np.ndarray:
+    return s.fillna("").to_numpy(dtype=object)
 
 
 @pandas_udf(DoubleType())
 def osa_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return _vectorize_pair_kernel(_osa_pair)(a, b)
+    return pd.Series(_osa_batch(_as_str_array(a), _as_str_array(b)))
 
 
 @pandas_udf(DoubleType())
 def jaro_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    kern = _vectorize_pair_kernel(lambda x, y: 1.0 - _jaro_pair(x, y))
-    return kern(a, b)
+    return pd.Series(1.0 - _jaro_batch(_as_str_array(a), _as_str_array(b)))
 
 
 @pandas_udf(DoubleType())
 def jw_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    kern = _vectorize_pair_kernel(lambda x, y: 1.0 - _jw_pair(x, y))
-    return kern(a, b)
+    return pd.Series(1.0 - _jw_batch(_as_str_array(a), _as_str_array(b)))
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..config import LinkConfig
 from ..functions.normalize import NORM_COL
+from ..functions.qgrams import jaccard_qgram_dist_expr, qgram_set_expr
 from ..functions.scorers import distance_expr
 
 DIST_COL = "stringdist"
@@ -41,16 +42,24 @@ def score_pairs(
     xn = x_prep.select(F.col(x_id), F.col(NORM_COL).alias("name_norm_x")).dropDuplicates([x_id])
     yn = y_prep.select(F.col(y_id), F.col(NORM_COL).alias("name_norm_y")).dropDuplicates([y_id])
 
+    if cfg.distance_measure == "jaccard":
+        # Precompute each side's q-gram set ONCE per distinct name (n rows)
+        # instead of per candidate pair (can be 1000x more rows): the
+        # per-pair work drops to one array_intersect/array_union.
+        xn = xn.withColumn("_gx", qgram_set_expr("name_norm_x", cfg.qgram))
+        yn = yn.withColumn("_gy", qgram_set_expr("name_norm_y", cfg.qgram))
+        dist = jaccard_qgram_dist_expr("_gx", "_gy")
+    else:
+        dist = distance_expr(
+            cfg.distance_measure, "name_norm_x", "name_norm_y", qgram=cfg.qgram
+        )
+
     scored = (
         pairs.select(x_id, y_id)
         .join(xn, x_id)
         .join(yn, y_id)
-        .withColumn(
-            DIST_COL,
-            distance_expr(
-                cfg.distance_measure, "name_norm_x", "name_norm_y", qgram=cfg.qgram
-            ),
-        )
+        .withColumn(DIST_COL, dist)
+        .drop("_gx", "_gy")
     )
     if max_dist is not None and max_dist != float("inf"):
         scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))

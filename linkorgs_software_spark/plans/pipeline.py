@@ -55,7 +55,11 @@ def _rep_rows(prep: DataFrame, id_col: str, by_col: str, suffix: str) -> DataFra
 def _raw_match(
     x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float
 ) -> DataFrame:
-    cands = candidate_pairs(x_prep, y_prep, cfg)
+    # Materialize the blocked pair list: Catalyst pushes the threshold
+    # predicate into the scoring join's condition, which would re-evaluate
+    # the whole blocking shuffle; caching makes the candidate set the stage
+    # boundary (this is also the stage the checkpointer persists at scale).
+    cands = candidate_pairs(x_prep, y_prep, cfg).cache()
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
 
@@ -101,8 +105,11 @@ def link_orgs(
     if algorithm in ("lookup", "alias") and directory is None:
         raise ValueError(f"algorithm {algorithm!r} requires a directory DataFrame")
 
-    x_prep = prepare_side(x, cfg.by_x, "x_id", cfg)
-    y_prep = prepare_side(y, cfg.by_y, "y_id", cfg)
+    # The prepared sides feed several plan branches (gram index, gram-count
+    # denominator, scoring dims, representative-row back-merge) — cache them
+    # so each branch reads the normalized frame instead of re-deriving it.
+    x_prep = prepare_side(x, cfg.by_x, "x_id", cfg).cache()
+    y_prep = prepare_side(y, cfg.by_y, "y_id", cfg).cache()
 
     z_raw = None
     z_net = None
@@ -158,7 +165,12 @@ def link_orgs(
         # for BOTH its x and its y (deterministic tiebreaks). This is the
         # assignment the F1 >= 0.99 gate evaluates; the default (budgeted
         # many-to-many) mirrors the reference's AveMatchNumberPerAlias
-        # semantics instead.
+        # semantics instead. The pre-selection frame feeds three branches
+        # (best-per-x, best-per-y, and the re-join) — cache it so the full
+        # upstream DAG (blocking + scoring) is computed once, not 3x
+        # (a lazy localCheckpoint would race: concurrent stages can each
+        # recompute the parent before the checkpoint materializes).
+        z = z.cache()
         bx = keep_min_per_group(z, ["x_id"], "minDist", ["name_norm_y"]).select("x_id", "y_id")
         by = keep_min_per_group(z, ["y_id"], "minDist", ["name_norm_x"]).select("x_id", "y_id")
         z = bx.join(by, ["x_id", "y_id"]).join(z, ["x_id", "y_id"])

@@ -57,8 +57,12 @@ def test_qgram_prefix_cap(spark):
 
 def test_qgram_set_distinct(spark):
     df = spark.createDataFrame([("aaaa",)], "s string")
+    # scoring sets keep only full-length q-grams (R stringdist convention)
     s = df.select(qgram_set_expr("s", 2).alias("g")).first().g
-    assert sorted(s) == ["a", "aa"]
+    assert sorted(s) == ["aa"]
+    # the blocking index keeps short tails (reference index builder)
+    s2 = df.select(qgram_set_expr("s", 2, full_only=False).alias("g")).first().g
+    assert sorted(s2) == ["a", "aa"]
 
 
 def test_record_id_duplicate_names_share_id(spark):
