@@ -32,6 +32,24 @@ def keep_min_per_group(
     )
 
 
+def keep_top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    dist_col: str,
+    k: int,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k closest rows per group (the per-key-k extension of the
+    reference's global-quantile budget — SURVEY.md §2.6)."""
+    order = [F.col(dist_col).asc_nulls_last()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def min_over_group(df: DataFrame, group_cols: Sequence[str], dist_col: str, out_col: str) -> DataFrame:
     """Attach the per-group minimum as a column (reference ``tapply`` min,
     ``LinkOrgs_LinkOrgs.R:737-740``) without dropping rows."""

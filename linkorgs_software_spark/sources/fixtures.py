@@ -148,17 +148,7 @@ def gen_transcripts(
 
 
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
-    """Org mentions from ``[[...]]`` markers — pure Catalyst (regexp + explode).
+    """Org mentions from ``[[...]]`` markers — see plans.transcripts."""
+    from ..plans.transcripts import extract_mentions as _extract
 
-    Returns ``(conv_id, turn_idx, name)``; the transcripts frame itself is
-    never mutated (per-turn invariant, driver ``input_hint``).
-    """
-    return (
-        transcripts.select(
-            "conv_id",
-            "turn_idx",
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(r"\[\[(.*?)\]\]"), 1)
-            ).alias("name"),
-        )
-    )
+    return _extract(transcripts)

@@ -59,12 +59,18 @@ class StageCheckpointer:
     def is_complete(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
 
-    def run(self, name: str, build) -> DataFrame:
+    def run(self, name: str, build, *, min_files: int = 16) -> DataFrame:
+        """``min_files`` guards the re-read side: a stage written as one
+        file reads back as ONE input split, silently serializing every
+        downstream job (observed: a 10M-row stage ran a '32-core' scoring
+        job on a single core). Stages write at least this many files."""
         path = self._path(name)
         if self.is_complete(name):
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = build()
+        if min_files and df.rdd.getNumPartitions() < min_files:
+            df = df.repartition(min_files)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         rows = out.count()
