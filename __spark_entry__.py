@@ -347,6 +347,36 @@ def _q_segment_orders(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    from linkorgs_software_spark.operators.events import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30.0, order_cols=("event_id",))
+    return out.select("event_id", "user_id", F.col("session_seq").cast("long").alias("session_seq"))
+
+
+def _q_session_stats(spark, sf_dir):
+    from linkorgs_software_spark.operators.events import session_stats, sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30.0, order_cols=("event_id",))
+    out = session_stats(s)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round("span_seconds", 6).alias("span_seconds"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+def _q_props_json(spark, sf_dir):
+    from linkorgs_software_spark.operators.events import json_prop_expr
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.select("event_id", json_prop_expr("props", "k").alias("k_val"))
+
+
 def _q_link_fuzzy_full(spark, sf_dir):
     """Full pipeline incl. seeded calibration — calibration(approxQuantile)
     is not ANSI-SQL-expressible; rows-only check."""
@@ -372,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "events_running": _q_events_running,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "props_json": _q_props_json,
         "lineitem_agg": _q_lineitem_agg,
         "segment_orders": _q_segment_orders,
         "link_fuzzy_full": _q_link_fuzzy_full,  # no oracle: calibration
@@ -524,6 +557,40 @@ select event_id, user_id,
     partition by user_id order by ts, event_id
     rows between unbounded preceding and current row), 6) as running_value
 from events
+""",
+        "sessionize": """
+with o as (
+  select event_id, user_id, ts,
+    case when lag(ts) over w is null
+           or (epoch(ts) - epoch(lag(ts) over w)) > 1800.0 then 1 else 0 end as ns
+  from events
+  window w as (partition by user_id order by ts, event_id))
+select event_id, user_id,
+  (sum(ns) over (partition by user_id order by ts, event_id
+                 rows between unbounded preceding and current row))::bigint as session_seq
+from o
+""",
+        "session_stats": """
+with o as (
+  select *,
+    case when lag(ts) over w is null
+           or (epoch(ts) - epoch(lag(ts) over w)) > 1800.0 then 1 else 0 end as ns
+  from events
+  window w as (partition by user_id order by ts, event_id)),
+s as (
+  select *,
+    user_id::varchar || '#' ||
+    ((sum(ns) over (partition by user_id order by ts, event_id
+                    rows between unbounded preceding and current row))::bigint)::varchar
+    as session_id
+  from o)
+select user_id, session_id, count(*) as n_events,
+  round(epoch(max(ts)) - epoch(min(ts)), 6) as span_seconds,
+  round(sum(value), 6) as total_value
+from s group by 1, 2
+""",
+        "props_json": """
+select event_id, json_extract_string(props, '$.k') as k_val from events
 """,
         "lineitem_agg": """
 select l_returnflag, l_linestatus,
