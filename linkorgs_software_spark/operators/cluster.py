@@ -82,14 +82,28 @@ def edges_from_matches(matches: DataFrame, x_id: str = "x_id", y_id: str = "y_id
     return matches.select(F.col(x_id).alias("src"), F.col(y_id).alias("dst"))
 
 
-def clusters_to_pairs(assign: DataFrame, *, id_col: str = "id", comp_col: str = "component") -> DataFrame:
+def clusters_to_pairs(
+    assign: DataFrame,
+    *,
+    id_col: str = "id",
+    comp_col: str = "component",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
     """Expand a cluster assignment into all intra-cluster pairs (id_a < id_b).
 
     Used by the evaluation harness to compare transitive clusters against
-    labeled pairs at pair granularity. The self-join is per-component; a
-    mega-component would square — callers should cap or sample components
-    beyond a size bound at true scale (skew note in SURVEY.md §7.4 risk 4).
+    labeled pairs at pair granularity. The self-join squares per component,
+    so a mega-entity (skew risk, SURVEY.md §7.4) is guarded by
+    ``max_cluster_size``: components above the cap are dropped from pair
+    expansion (at 10^12-turn scale a squared mega-cluster is never a useful
+    artifact — it is a blocking/threshold bug surfaced as data).
     """
     a = assign.select(F.col(comp_col).alias("c"), F.col(id_col).alias("id_a"))
-    b = assign.select(F.col(comp_col).alias("c"), F.col(id_col).alias("id_b"))
+    if max_cluster_size is not None:
+        sizes = assign.groupBy(F.col(comp_col).alias("c")).agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        keep = sizes.filter(F.col("_sz") <= max_cluster_size).select("c")
+        a = a.join(keep, "c", "left_semi")
+    b = a.select(F.col("c"), F.col("id_a").alias("id_b"))
     return a.join(b, "c").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "c")

@@ -10,9 +10,11 @@ because both sides hit aliases of the same entity. Score fusion
 ``minDist`` = na20(scaled max of the two network sides) + na20(raw
 stringdist); minimum per pair wins.
 
-Spark-first: the directory is a broadcast dim table; both directional
-matches reuse the SAME trigram blocking + scoring operators (the north
-rule's fixed blocking key), so no new join machinery exists here.
+Spark-first: both directional matches reuse the SAME trigram blocking +
+scoring operators (the north rule's fixed blocking key), so no new join
+machinery exists here. The directory is treated as a regular (possibly
+huge — 0.5e9 aliases in the reference) side: AQE broadcasts it when it is
+actually small; nothing forces a broadcast.
 """
 
 from __future__ import annotations
@@ -64,10 +66,11 @@ def match_to_directory(
     scored = score_pairs(
         cands, side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID, max_dist=thr
     )
+    # No forced broadcast: the reference's real directory is ~0.5e9 aliases
+    # (LinkOrgs README.md:21-23) — far beyond broadcast range. Catalyst/AQE
+    # broadcasts automatically when the directory is actually small.
     hits = (
-        scored.join(
-            F.broadcast(dir_prep.select(ALIAS_ID, "canonical_id")), ALIAS_ID
-        )
+        scored.join(dir_prep.select(ALIAS_ID, "canonical_id"), ALIAS_ID)
         .select(
             F.col(side_id),
             F.col("name_norm_x").alias(NORM_COL),

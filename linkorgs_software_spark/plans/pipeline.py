@@ -128,11 +128,13 @@ def link_orgs(
         z_raw = _embed_match(x_prep, y_prep, cfg, thr)
     elif algorithm == "lookup":
         dir_prep = prepare_directory(directory, cfg)
+        # no forced broadcast: directories can be ~0.5e9 aliases; AQE
+        # broadcasts small ones automatically
         xd = x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"]).join(
-            F.broadcast(dir_prep), NORM_COL
+            dir_prep, NORM_COL
         ).select("x_id", F.col(NORM_COL).alias("name_norm_x"), "canonical_id")
         yd = y_prep.select("y_id", NORM_COL).dropDuplicates(["y_id"]).join(
-            F.broadcast(dir_prep), NORM_COL
+            dir_prep, NORM_COL
         ).select("y_id", F.col(NORM_COL).alias("name_norm_y"), "canonical_id")
         z_net = xd.join(yd, "canonical_id").withColumn(
             "netdist_x", F.lit(0.0)
