@@ -38,6 +38,52 @@ def _seeded_sample(df: DataFrame, cap: int, seed: int) -> DataFrame:
     return df.sample(fraction=frac, seed=seed).limit(cap)
 
 
+def calibrated_threshold_on_column(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    cfg: LinkConfig,
+    pair_dist_expr,
+    *,
+    k: float,
+    x_col: str,
+    y_col: str,
+    nx: int | None = None,
+    ny: int | None = None,
+) -> float:
+    """Calibrate over precomputed per-side columns (e.g. embeddings).
+
+    ``pair_dist_expr(x_col, y_col) -> Column`` scores a sampled cross join;
+    expensive per-row derivations (embedding kernels) must already live in
+    ``x_col``/``y_col`` so they are computed once per sampled row, not once
+    per sampled pair.
+    """
+    xs = _seeded_sample(x_df.select(x_col).dropDuplicates(), cfg.calibration_sample, cfg.seed)
+    ys = _seeded_sample(
+        y_df.select(F.col(y_col).alias("_ycal")).dropDuplicates(),
+        cfg.calibration_sample,
+        cfg.seed + 1,
+    )
+    nx = x_df.select(x_col).dropDuplicates().count() if nx is None else nx
+    ny = y_df.select(y_col).dropDuplicates().count() if ny is None else ny
+    if nx == 0 or ny == 0:
+        return float("inf")
+    q = min(max(k / math.sqrt(float(nx) * float(ny)), 0.0), 1.0)
+    dists = (
+        xs.crossJoin(ys)
+        .select(pair_dist_expr(x_col, "_ycal").alias("dist"))
+        .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
+    )
+    if q >= 1.0:
+        row = dists.agg(F.max("dist").alias("m")).collect()[0]
+        thr = row["m"]
+    else:
+        quantiles = dists.approxQuantile("dist", [q], 0.0001)
+        thr = quantiles[0] if quantiles else None
+    if thr is None:
+        return float("inf")
+    return max(float(thr), 1e-6)
+
+
 def calibrated_threshold(
     x_prep: DataFrame,
     y_prep: DataFrame,

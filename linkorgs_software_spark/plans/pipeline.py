@@ -94,11 +94,19 @@ def link_orgs(
     directory: DataFrame | None = None,
     decomposition: bool = False,
     one_to_one: bool = False,
+    checkpointer=None,
 ):
     """Link two org-name tables; returns the matched-pair DataFrame.
 
     With ``decomposition=True`` returns ``{"z": ..., "z_raw_names": ...,
     "z_network": ...}`` (reference return list, ``LinkOrgs_LinkOrgs.R:785-787``).
+
+    ``checkpointer`` (a ``sources.io.StageCheckpointer``) makes the run
+    resumable: the scored-pairs stage, each directory-match stage, and the
+    final pair table are materialized with row-count metrics; a re-run
+    detects completed stages and skips their computation entirely (north
+    rule: resumable from checkpoint with lineage + metrics — Iceberg
+    snapshots at prod, parquet + ``_metrics.jsonl`` here).
     """
     if algorithm not in ALGORITHMS:
         raise ValueError(f"algorithm must be one of {ALGORITHMS}, got {algorithm!r}")
@@ -111,20 +119,34 @@ def link_orgs(
     x_prep = prepare_side(x, cfg.by_x, "x_id", cfg).cache()
     y_prep = prepare_side(y, cfg.by_y, "y_id", cfg).cache()
 
+    def _stage(name, build):
+        return checkpointer.run(name, build) if checkpointer is not None else build()
+
     z_raw = None
     z_net = None
 
     if algorithm == "embed":
         thr = cfg.max_dist
         if thr is None:
-            # calibrate on the embedding distance directly
-            from ..functions.scorers import register_scorer
+            # Calibrate on PRE-EMBEDDED sides: the kernel runs once per
+            # sampled name, not once per sampled pair (1000x1000 pairs would
+            # otherwise pay 2M kernel invocations for 2000 names).
+            from ..operators.calibrate import calibrated_threshold_on_column
 
             embed = make_hash_embed_udf(seed=cfg.seed)
-            register_scorer(
-                "_embed_l2_cal", lambda a, b, q: l2_dist_udf(embed(a), embed(b))
+            xe = x_prep.select(NORM_COL).dropDuplicates().withColumn("_emb", embed(F.col(NORM_COL)))
+            ye = y_prep.select(NORM_COL).dropDuplicates().withColumn("_emb", embed(F.col(NORM_COL)))
+            thr = calibrated_threshold_on_column(
+                xe,
+                ye,
+                cfg,
+                lambda a, b: l2_dist_udf(F.col(a), F.col(b)),
+                k=cfg.ave_match_number_per_alias,
+                x_col="_emb",
+                y_col="_emb",
+                nx=xe.count(),
+                ny=ye.count(),
             )
-            thr = calibrated_threshold(x_prep, y_prep, cfg, measure="_embed_l2_cal")
         z_raw = _embed_match(x_prep, y_prep, cfg, thr)
     elif algorithm == "lookup":
         dir_prep = prepare_directory(directory, cfg)
@@ -143,14 +165,20 @@ def link_orgs(
         thr = cfg.max_dist
         if thr is None:
             thr = calibrated_threshold(x_prep, y_prep, cfg)
-        z_raw = _raw_match(x_prep, y_prep, cfg, thr)
+        z_raw = _stage("scored_raw", lambda: _raw_match(x_prep, y_prep, cfg, thr))
         if algorithm == "alias":
             dir_prep = prepare_directory(directory, cfg)
-            x2net = match_to_directory(
-                x_prep, dir_prep, cfg, side_id="x_id", out_dist="netdist_x"
+            x2net = _stage(
+                "x2net",
+                lambda: match_to_directory(
+                    x_prep, dir_prep, cfg, side_id="x_id", out_dist="netdist_x"
+                ),
             )
-            y2net = match_to_directory(
-                y_prep, dir_prep, cfg, side_id="y_id", out_dist="netdist_y"
+            y2net = _stage(
+                "y2net",
+                lambda: match_to_directory(
+                    y_prep, dir_prep, cfg, side_id="y_id", out_dist="netdist_y"
+                ),
             )
             z_net = bridge(x2net, y2net)
 
@@ -187,7 +215,7 @@ def link_orgs(
     # attach original columns (reference back-merge, LinkOrgs_LinkOrgs.R:643-653)
     x_rep = _rep_rows(x_prep, "x_id", cfg.by_x, "_x")
     y_rep = _rep_rows(y_prep, "y_id", cfg.by_y, "_y")
-    out = z.join(x_rep, "x_id").join(y_rep, "y_id")
+    out = _stage("z_final", lambda: z.join(x_rep, "x_id").join(y_rep, "y_id"))
 
     if decomposition:
         return {"z": out, "z_raw_names": z_raw, "z_network": z_net}
