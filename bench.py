@@ -202,6 +202,27 @@ def bench_doc_stats(spark, sf_dir: str):
     )
 
 
+def bench_f1_gate(spark, sf_dir: str):
+    """Quality gate measurement: pairwise F1 (x10^4, as an int count) on the
+    500-entity labeled fixture — alias algorithm + one-to-one selection at
+    the fixed trigram blocking key (north rule: F1 >= 0.99)."""
+    from linkorgs_software_spark import assess_match_performance
+    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.plans.pipeline import link_orgs
+    from linkorgs_software_spark.sources.fixtures import gen_linkage_fixture
+
+    n = 500
+    fx = gen_linkage_fixture(spark, n_entities=n, seed=42)
+    z = link_orgs(
+        fx["org_x"], fx["org_y"], LinkConfig(), algorithm="alias",
+        directory=fx["alias_directory"], one_to_one=True,
+    )
+    a = assess_match_performance(
+        z.selectExpr("name_x", "name_y"), fx["z_true"], n_x=n, n_y=n
+    )
+    return round(a.f1 * 10000)
+
+
 def bench_lineitem_agg(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -225,6 +246,7 @@ QUERIES = {
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
     "lineitem_agg": bench_lineitem_agg,
+    "f1_gate": bench_f1_gate,
 }
 
 
@@ -256,9 +278,11 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
     total = round(sum(secs.values()), 3)
     headline = "link_block_score" if "link_block_score" in secs else next(iter(secs), None)
     pps = round(counts[headline] / secs[headline]) if headline else None
+    f1 = counts.get("f1_gate")
     return {
         "metric": "candidate_pairs_scored_per_sec",
         "value": pps if pps is not None else total,
+        "f1_alias_one_to_one": (f1 / 10000.0) if f1 is not None else None,
         "unit": "sec",
         "queries": secs,
         "counts": counts,

@@ -59,12 +59,20 @@ def assess_match_performance(
     ``n_x`` / ``n_y`` are the distinct-name counts of the two input tables
     (the TN universe, ``AssessMatches.R:64``).
     """
-    pred = _dedup_pairs(z, name_x, name_y)
-    truth = _dedup_pairs(z_true, name_x, name_y)
+    # Cache both deduped pair sets: ``z`` is typically the full linkage
+    # plan — without the cache each confusion count would re-run the whole
+    # pipeline (blocking + scoring + windows) once per count.
+    pred = _dedup_pairs(z, name_x, name_y).cache()
+    truth = _dedup_pairs(z_true, name_x, name_y).cache()
 
     keys = ["name_x", "name_y"]
-    tp = pred.join(truth, keys, "left_semi").count()
-    fp = pred.join(truth, keys, "left_anti").count()
+    # TP and FP in one pass over pred; FN in one pass over truth.
+    marked = pred.join(truth.withColumn("_t", F.lit(1)), keys, "left")
+    row = marked.agg(
+        F.count(F.when(F.col("_t").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_t").isNull(), 1)).alias("fp"),
+    ).collect()[0]
+    tp, fp = row["tp"], row["fp"]
     fn = truth.join(pred, keys, "left_anti").count()
     tn = n_x * n_y - tp - fp - fn
     return MatchAssessment(tp=tp, fp=fp, fn=fn, tn=tn)

@@ -167,14 +167,20 @@ def simhash_expr(text_col, *, bits: int = SIMHASH_BITS):
     from ..functions.text import tokens_expr
 
     toks = tokens_expr(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
-
-    def _merge(j):
-        return lambda acc, t: acc + (F.ascii(F.substring(F.md5(t), j + 1, 1)) % 2) * 2 - 1
-
+    # md5 once per token; each token contributes a ±1 vector over the bit
+    # positions, summed with a single array-accumulator aggregate.
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    contrib = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda j: ((F.ascii(F.substring(h, j, 1)) % 2) * 2 - 1).cast("long"),
+    )
+    sums = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b))
     out = F.lit(0).cast("long")
     for j in range(bits):
-        contrib = F.aggregate(toks, F.lit(0).cast("long"), _merge(j))
-        out = out + F.when(contrib > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+        out = out + F.when(F.element_at(sums, j + 1) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0)
+        )
     return out
 
 

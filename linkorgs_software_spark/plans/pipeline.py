@@ -149,7 +149,7 @@ def link_orgs(
             )
         z_raw = _embed_match(x_prep, y_prep, cfg, thr)
     elif algorithm == "lookup":
-        dir_prep = prepare_directory(directory, cfg)
+        dir_prep = prepare_directory(directory, cfg).cache()
         # no forced broadcast: directories can be ~0.5e9 aliases; AQE
         # broadcasts small ones automatically
         xd = x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"]).join(
@@ -167,7 +167,10 @@ def link_orgs(
             thr = calibrated_threshold(x_prep, y_prep, cfg)
         z_raw = _stage("scored_raw", lambda: _raw_match(x_prep, y_prep, cfg, thr))
         if algorithm == "alias":
-            dir_prep = prepare_directory(directory, cfg)
+            # cached: the two directional matches and their calibrations
+            # issue several actions against the pruned directory
+            # (MEMORY_AND_DISK, so an oversized directory spills, not OOMs)
+            dir_prep = prepare_directory(directory, cfg).cache()
             x2net = _stage(
                 "x2net",
                 lambda: match_to_directory(
