@@ -370,6 +370,21 @@ def _q_session_stats(spark, sf_dir):
     )
 
 
+def _q_tumbling_window(spark, sf_dir):
+    """10-minute tumbling-window event aggregates (batch analogue of the
+    streaming windowed agg; bucketed on epoch so DuckDB mirrors exactly)."""
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    bucket = F.floor(epoch / F.lit(600.0)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
 def _q_props_json(spark, sf_dir):
     from linkorgs_software_spark.operators.events import json_prop_expr
 
@@ -404,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": _q_events_running,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
+        "tumbling_window": _q_tumbling_window,
         "props_json": _q_props_json,
         "lineitem_agg": _q_lineitem_agg,
         "segment_orders": _q_segment_orders,
@@ -591,6 +607,12 @@ from s group by 1, 2
 """,
         "props_json": """
 select event_id, json_extract_string(props, '$.k') as k_val from events
+""",
+        "tumbling_window": """
+select floor(epoch(ts) / 600.0)::bigint as win, event_type,
+  count(*) as n,
+  (sum(value::decimal(18,2)))::double as total_value
+from events group by 1, 2
 """,
         "lineitem_agg": """
 select l_returnflag, l_linestatus,

@@ -1,0 +1,57 @@
+"""Physical-plan shape assertions: pushdown, pruning, and no per-row
+Python — the scale invariants the engine promises (SURVEY.md §4)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from linkorgs_software_spark.functions.qgrams import (
+    jaccard_qgram_dist_expr,
+    qgram_set_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "value")
+    )
+    plan = _plan(ev)
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "value")
+    )
+    m = re.search(r"ReadSchema: (\S+)", _plan(ev))
+    assert m is not None
+    # only the referenced columns are read, not the full 6-column schema
+    assert m.group(1) == "struct<event_id:bigint,user_id:bigint,value:double>"
+
+
+def test_jaccard_plan_has_no_python(spark):
+    df = spark.read.parquet(f"{SF}/part.parquet").select(
+        qgram_set_expr(F.col("p_name"), 2).alias("g1"),
+        qgram_set_expr(F.concat_ws(" ", "p_name", "p_brand"), 2).alias("g2"),
+    )
+    scored = df.select(jaccard_qgram_dist_expr("g1", "g2").alias("d"))
+    plan = _plan(scored)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # fully native
+
+
+def test_small_dim_join_broadcasts(spark):
+    big = spark.read.parquet(f"{SF}/orders.parquet")
+    small = spark.read.parquet(f"{SF}/region.parquet")
+    joined = big.join(small, big.o_orderkey % 5 == small.r_regionkey)
+    assert "Broadcast" in _plan(joined)
