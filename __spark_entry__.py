@@ -271,8 +271,8 @@ def _q_doc_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count_expr("text").alias("n_tokens"),
-        bpe_ish_token_count_expr("text").alias("n_bpe_tokens"),
+        token_count_expr("text").cast("long").alias("n_tokens"),
+        bpe_ish_token_count_expr("text").cast("long").alias("n_bpe_tokens"),
         F.round(punct_ratio_expr("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
         F.round(quality_score_expr("text"), 6).alias("quality"),
@@ -307,7 +307,9 @@ def _q_ann_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, q, k=3).select("query_id", "vec_id", "rank")
+    return brute_force_topk(emb, q, k=3).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def _q_events_running(spark, sf_dir):
