@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from linkorgs_software_spark.config import LinkConfig
 from linkorgs_software_spark.functions.normalize import NORM_COL, normalize_expr, prepare_side
-from linkorgs_software_spark.functions.qgrams import jaccard_qgram_dist_expr, qgram_set_expr
 from linkorgs_software_spark.functions.text import (
     bpe_ish_token_count_expr,
     fingerprint_expr,
