@@ -32,6 +32,7 @@ from linkorgs_software_spark.operators.blocking import candidate_pairs
 from linkorgs_software_spark.operators.cluster import connected_components
 from linkorgs_software_spark.operators.corpus import (
     embedding_neardup,
+    embedding_neardup_lsh,
     exact_dup_groups,
     minhash_signatures,
     simhash_expr,
@@ -301,6 +302,29 @@ def _q_embedding_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale path (hyperplane-LSH candidates + exact verify) against planted
+    near-dups: each vector gets a minimally-perturbed twin (first element
+    +0.001), so the true near-dup set at cosine >= 0.99 is the twin pairs —
+    recoverable with structural certainty (a near-zero angle preserves every
+    hyperplane sign), which makes the brute-force SQL an exact oracle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + F.lit(0.001)),
+            F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
+        ).alias("embedding"),
+    )
+    out = embedding_neardup_lsh(
+        base.unionByName(pert), threshold=0.99, n_planes=8, num_tables=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -416,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "events_running": _q_events_running,
         "sessionize": _q_sessionize,
@@ -553,6 +578,24 @@ select doc_id, ({_simhash_sql(16)})::bigint as simhash from t
 select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 4) as cosine_sim
 from embeddings a join embeddings b on a.vec_id < b.vec_id
 where {cos} >= 0.30
+""",
+        "embedding_neardup_lsh": """
+with base as (
+  select vec_id, list_transform(embedding, x -> x::double) as emb from embeddings),
+pert as (
+  select vec_id + 10000 as vec_id,
+    list_concat([embedding[1]::double + 0.001],
+                list_transform(embedding[2:], x -> x::double)) as emb
+  from embeddings),
+u as (select * from base union all select * from pert),
+scored as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    (list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]))))
+    as cos
+  from u a join u b on a.vec_id < b.vec_id)
+select id_a, id_b, round(cos, 4) as cosine_sim from scored where cos >= 0.99
 """,
         "ann_topk": f"""
 with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),

@@ -44,8 +44,15 @@ def gram_index(df: DataFrame, id_col: str, cfg: LinkConfig) -> DataFrame:
     )
 
 
-def _apply_df_cap(index: DataFrame, gram_col: str, cap: int) -> DataFrame:
-    """Drop grams whose posting list exceeds ``cap`` (skew/stop-gram guard)."""
+def apply_df_cap(index: DataFrame, gram_col: str, cap: int) -> DataFrame:
+    """Drop grams whose posting list exceeds ``cap`` (skew/stop-gram guard).
+
+    Shared by every blocking-style self/pair join in the engine (trigram
+    blocking here, MinHash/SimHash band buckets and embedding-LSH buckets in
+    operators/corpus.py): a key whose posting list squares inside one join
+    task is the canonical 100 TB skew-killer, so the cap is applied before
+    *any* key-equality pair generation.
+    """
     counts = index.groupBy(gram_col).agg(F.count(F.lit(1)).alias("_df"))
     keep = counts.filter(F.col("_df") <= cap).select(gram_col)
     # keep-list is small by construction (it is the *capped* vocabulary);
@@ -74,8 +81,8 @@ def candidate_pairs(
     x_ntri = x_tri.groupBy(x_id).agg(F.count(F.lit(1)).alias("n_grams_x"))
 
     if cfg.max_block_df is not None:
-        x_tri = _apply_df_cap(x_tri, "gram", cfg.max_block_df)
-        y_tri = _apply_df_cap(y_tri, "gram", cfg.max_block_df)
+        x_tri = apply_df_cap(x_tri, "gram", cfg.max_block_df)
+        y_tri = apply_df_cap(y_tri, "gram", cfg.max_block_df)
 
     if cfg.salt_buckets and cfg.salt_buckets > 1:
         s = cfg.salt_buckets

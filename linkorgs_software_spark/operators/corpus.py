@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions.embedding import cosine_sim_expr
 from ..functions.qgrams import jaccard_qgram_dist_expr
 from ..functions.text import word_shingles_expr
+from .blocking import apply_df_cap
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -117,12 +118,19 @@ def minhash_lsh_dups(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_bucket_df: int | None = 5000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified by exact shingle jaccard.
 
     Signature → ``bands`` buckets of ``num_hashes/bands`` rows; docs sharing
     any band bucket are candidates (classic banding: P[candidate] =
     1-(1-s^r)^b); verify pass computes true jaccard and applies threshold.
+
+    ``max_bucket_df`` drops band buckets whose posting list exceeds the cap
+    before the self-join: a viral duplicated doc otherwise puts millions of
+    ids in ONE bucket and squares inside a single task (the 100 TB
+    skew-killer). A bucket that large is exact-dup-grade duplication — run
+    ``exact_dup_groups`` first; LSH is for the non-identical tail.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
@@ -135,6 +143,8 @@ def minhash_lsh_dups(
         for bi in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    if max_bucket_df is not None:
+        banded = apply_df_cap(banded, "bucket", max_bucket_df)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "bucket")
@@ -192,12 +202,17 @@ def simhash_dups(
     bits: int = SIMHASH_BITS,
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_df: int | None = 5000,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidates: pigeonhole banding — signatures within hamming d must share
     at least one of ``blocks`` bit-blocks when blocks > d; verify with
     ``bit_count(xor)``. Returns (id_a, id_b, hamming).
+
+    ``max_bucket_df`` caps bit-block posting lists exactly like
+    ``minhash_lsh_dups`` — an over-duplicated corpus otherwise squares
+    inside one block bucket's self-join task.
     """
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
     width = bits // blocks
@@ -209,6 +224,8 @@ def simhash_dups(
         for b in range(blocks)
     ]
     blocked = sig.select("id", "sig", F.explode(F.array(*block_cols)).alias("blk"))
+    if max_bucket_df is not None:
+        blocked = apply_df_cap(blocked, "blk", max_bucket_df)
     cand = (
         blocked.alias("a")
         .join(blocked.alias("b"), "blk")
@@ -246,6 +263,57 @@ def embedding_neardup(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", cosine_sim_expr("v_a", "v_b"))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_bucket_df: int | None = 10_000,
+) -> DataFrame:
+    """Cosine near-dup pairs via hyperplane-LSH candidates + exact verify.
+
+    The scale path for ``embedding_neardup``: random-hyperplane sign buckets
+    (``ann.lsh_buckets`` — seeded literal planes, pure Catalyst) generate
+    candidates; pairs sharing any (table, bucket) are exactly re-scored and
+    thresholded. Recall follows sign-LSH banding theory:
+    P[same bucket in >=1 of T tables] = 1-(1-(1-θ/π)^p)^T — for near-dup
+    thresholds (cosine >= 0.95 ⇒ θ <= 18°) recall is ~1 at p=8, T=4.
+
+    Unlike the all-pairs verify, cost is Σ bucket² not n²; ``max_bucket_df``
+    caps degenerate buckets the same way the other LSH families do.
+    """
+    from .ann import lsh_buckets
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    b = lsh_buckets(
+        base, vec_col="v", dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed
+    ).withColumn("tb", F.concat_ws(":", "table_id", "bucket")).select("id", "v", "tb")
+    if max_bucket_df is not None:
+        b = apply_df_cap(b, "tb", max_bucket_df)
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), "tb")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine_sim_expr("v_a", "v_b"))
         .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine_sim")
     )

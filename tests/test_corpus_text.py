@@ -15,6 +15,7 @@ from linkorgs_software_spark.functions.text import (
 from linkorgs_software_spark.operators.ann import brute_force_topk, lsh_topk
 from linkorgs_software_spark.operators.corpus import (
     embedding_neardup,
+    embedding_neardup_lsh,
     exact_dup_groups,
     minhash_lsh_dups,
     ngram_jaccard_dups,
@@ -129,6 +130,84 @@ def test_brute_force_topk_self_is_rank1(spark, emb):
     out = brute_force_topk(emb, q, k=5)
     top1 = {r.query_id: r.vec_id for r in out.filter("rank = 1").collect()}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_minhash_lsh_hot_bucket_capped(spark, docs):
+    """A flood of identical docs (one degenerate band bucket) must not square:
+    with the cap the flood's bucket is dropped, while a disjoint near-dup
+    pair in an ordinary bucket is still found."""
+    one = docs.limit(1)
+    flood = one.crossJoin(spark.range(1000).select(F.col("id").alias("_i"))).select(
+        (F.col("_i") + 500000).alias("doc_id"), "text"
+    )
+    pair = docs.filter("doc_id = 1").unionAll(
+        docs.filter("doc_id = 1").withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    corpus = flood.unionAll(pair.select("doc_id", "text"))
+    out = minhash_lsh_dups(corpus, threshold=0.99, max_bucket_df=100)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 100001) in pairs
+    # nothing from the flood: its bucket exceeded the cap
+    assert all(not (a >= 500000 and b >= 500000) for a, b in pairs)
+
+
+def test_simhash_hot_bucket_capped(spark, docs):
+    one = docs.limit(1)
+    flood = one.crossJoin(spark.range(1000).select(F.col("id").alias("_i"))).select(
+        (F.col("_i") + 500000).alias("doc_id"), "text"
+    )
+    pair = docs.filter("doc_id = 1").unionAll(
+        docs.filter("doc_id = 1").withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    corpus = flood.unionAll(pair.select("doc_id", "text"))
+    out = simhash_dups(corpus, max_hamming=0, max_bucket_df=100)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 100001) in pairs
+    assert all(not (a >= 500000 and b >= 500000) for a, b in pairs)
+
+
+def test_embedding_neardup_lsh_recall_vs_brute_force(spark):
+    """Planted near-identical vectors: LSH path must recover every
+    brute-force pair at a near-dup threshold (deterministic seeds, so the
+    banding-theory recall ~1-1e-4/pair is a fixed outcome, not a flake)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10):  # 10 perturbed near-dups of vectors 0..9
+        v = base[i] + rng.normal(scale=0.01, size=64)
+        rows.append((100 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(emb, threshold=0.99).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.99, n_planes=8, num_tables=4
+        ).collect()
+    }
+    assert len(exact) >= 10
+    assert exact == approx  # full recall at near-dup threshold; no extras (exact verify)
+
+
+def test_embedding_neardup_lsh_hot_bucket_capped(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    v = rng.normal(size=64)
+    rows = [(i, [float(x) for x in v]) for i in range(500)]  # identical flood
+    w = rng.normal(size=64)
+    rows += [(1000, [float(x) for x in w]), (1001, [float(x) for x in w + 0.001])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_lsh(emb, threshold=0.99, max_bucket_df=50)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1000, 1001) in pairs
+    assert all(not (a < 500 and b < 500) for a, b in pairs)
 
 
 def test_lsh_topk_recall_vs_brute_force(spark, emb):
