@@ -193,7 +193,7 @@ def _simhash_sql(bits: int = 16) -> str:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: blocked fuzzy linkage of part names vs brand variants."""
     x, y = _org_sides(spark, "/root/testdata/sf0.001")
-    return link_orgs(x, y, CFG.with_(max_dist=0.5), algorithm="fuzzy").select(
+    return link_orgs(x, y, CFG.with_(max_dist=0.5, ave_match_number_per_alias=None), algorithm="fuzzy").select(
         "name_x", "name_y", "stringdist", "minDist"
     )
 
@@ -254,7 +254,8 @@ def _q_alias_bridge(spark, sf_dir):
         F.lit(1.0).alias("weights"),
     )
     directory = d1.unionByName(d2).distinct()
-    z = link_orgs(x, y, CFG, algorithm="lookup", directory=directory)
+    z = link_orgs(x, y, CFG, algorithm="lookup", directory=directory,
+                  return_diagnostics=True)
     return z.select("name_x", "name_y", "canonical_id")
 
 

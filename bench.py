@@ -53,7 +53,7 @@ def bench_linkage(spark, sf_dir: str):
     customer names (x) vs supplier names (y) — digit-heavy, skewed grams."""
     from pyspark.sql import functions as F
 
-    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
     from linkorgs_software_spark.functions.normalize import prepare_side
     from linkorgs_software_spark.operators.blocking import candidate_pairs
     from linkorgs_software_spark.operators.scoring import score_pairs
@@ -84,7 +84,7 @@ def build_scaling_candidates(spark, sf_dir: str, replicate: int = 9) -> str:
 
     from pyspark.sql import functions as F
 
-    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
     from linkorgs_software_spark.functions.normalize import NORM_COL, prepare_side
     from linkorgs_software_spark.operators.blocking import candidate_pairs
 
@@ -147,14 +147,14 @@ def bench_linkage_heavy(spark, sf_dir: str):
 def bench_fixture_linkage(spark, sf_dir: str):
     """Full link_orgs (blocking+scoring+dedup+one-to-one) on a scaled
     synthetic org workload (entities ∝ sf tables)."""
-    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
     from linkorgs_software_spark.plans.pipeline import link_orgs
     from linkorgs_software_spark.sources.fixtures import gen_linkage_fixture
 
     n = 3000 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 500
     fx = gen_linkage_fixture(spark, n_entities=n, seed=42)
     z = link_orgs(
-        fx["org_x"], fx["org_y"], LinkConfig(max_dist=0.6), one_to_one=True
+        fx["org_x"], fx["org_y"], fixed_threshold_config(max_dist=0.6), one_to_one=True
     )
     return z.count()
 
@@ -207,7 +207,7 @@ def bench_f1_gate(spark, sf_dir: str):
     500-entity labeled fixture — alias algorithm + one-to-one selection at
     the fixed trigram blocking key (north rule: F1 >= 0.99)."""
     from linkorgs_software_spark import assess_match_performance
-    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
     from linkorgs_software_spark.plans.pipeline import link_orgs
     from linkorgs_software_spark.sources.fixtures import gen_linkage_fixture
 

@@ -8,7 +8,7 @@ corpus operators a 100 TB training-data pipeline needs (dedup families,
 ANN, text analysis, multimodal plumbing).
 """
 
-from .config import DEFAULT, LinkConfig
+from .config import DEFAULT, LinkConfig, fixed_threshold_config
 from .operators.assess import MatchAssessment, assess_match_performance
 from .operators.calibrate import calibrated_threshold
 from .operators.cluster import clusters_to_pairs, connected_components, edges_from_matches
@@ -17,6 +17,7 @@ from .plans.pipeline import link_orgs
 __all__ = [
     "DEFAULT",
     "LinkConfig",
+    "fixed_threshold_config",
     "link_orgs",
     "calibrated_threshold",
     "connected_components",

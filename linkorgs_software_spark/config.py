@@ -31,13 +31,20 @@ class LinkConfig:
     remove_punct: bool = True
 
     # --- scoring -------------------------------------------------------
-    distance_measure: str = "jaccard"  # jaccard | levenshtein | osa | jw | embed_l2 | embed_cosine
+    # Threshold priority mirrors the reference exactly
+    # (``LinkOrgs_PFuzzyDiscreteFullFxn.R:67-76``, documented at
+    # ``LinkOrgs_LinkOrgs.R:37-44``): a non-None ``ave_match_number_per_alias``
+    # RECOMPUTES the threshold by calibration and overrides ``max_dist``; to
+    # pin a fixed ``max_dist`` set the ave knob to None (R: pass
+    # ``AveMatchNumberPerAlias = NULL``). Both None => the reference's
+    # ``pDistMatch_discrete`` default MaxDist = 0.20.
+    distance_measure: str = "jaccard"  # see functions/scorers.available_measures()
     qgram: int = 2                      # q for the jaccard measure
-    max_dist: float | None = None       # None => calibrate
-    ave_match_number_per_alias: float = 10.0
-    # network (alias-bridge) stage
+    max_dist: float | None = None
+    ave_match_number_per_alias: float | None = 10.0
+    # network (alias-bridge) stage — same priority rule
     max_dist_network: float | None = None
-    ave_match_number_per_alias_network: float = 2.0
+    ave_match_number_per_alias_network: float | None = 2.0
     rel_thres_network: float = 1.5
 
     # --- blocking (PFuzzyDiscreteInternal.R:102-139 semantics) ---------
@@ -60,6 +67,27 @@ class LinkConfig:
 
     def with_(self, **kw) -> "LinkConfig":
         return replace(self, **kw)
+
+
+# Reference fallback when BOTH max_dist and ave_match_number_per_alias are
+# None: pDistMatch_discrete's own default (LinkOrgs_PFuzzyDiscreteInternal.R:72).
+FALLBACK_MAX_DIST = 0.20
+
+
+def fixed_threshold_config(
+    max_dist: float,
+    max_dist_network: float | None = None,
+    **kw,
+) -> LinkConfig:
+    """A config with PINNED thresholds (no calibration) — the equivalent of
+    the reference call ``LinkOrgs(..., MaxDist=d, AveMatchNumberPerAlias=NULL)``."""
+    return LinkConfig(
+        max_dist=max_dist,
+        ave_match_number_per_alias=None,
+        max_dist_network=max_dist_network,
+        ave_match_number_per_alias_network=None,
+        **kw,
+    )
 
 
 DEFAULT = LinkConfig()

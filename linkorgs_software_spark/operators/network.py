@@ -57,11 +57,20 @@ def match_to_directory(
     Returns ``(side_id, name_norm, canonical_id, <out_dist>)`` — one row per
     (name, canonical_id), the minimum distance among that entity's aliases.
     """
-    thr = cfg.max_dist_network
-    if thr is None:
+    # Same threshold priority as the raw stage (reference passes
+    # MaxDist_network + AveMatchNumberPerAlias_network through the identical
+    # code path, LinkOrgs_LinkOrgs.R:610-617): a non-None ave knob
+    # recalibrates and overrides the fixed threshold.
+    if cfg.ave_match_number_per_alias_network is not None:
         thr = calibrated_threshold(
             side_prep, dir_prep, cfg, k=cfg.ave_match_number_per_alias_network
         )
+    elif cfg.max_dist_network is not None:
+        thr = cfg.max_dist_network
+    else:
+        from ..config import FALLBACK_MAX_DIST
+
+        thr = FALLBACK_MAX_DIST
     cands = candidate_pairs(side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID)
     scored = score_pairs(
         cands, side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID, max_dist=thr

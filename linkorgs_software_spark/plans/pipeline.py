@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import DEFAULT, LinkConfig
+from ..config import DEFAULT, FALLBACK_MAX_DIST, LinkConfig
 from ..functions.embedding import l2_dist_udf, make_hash_embed_udf
 from ..functions.normalize import NORM_COL, pair_id_expr, prepare_side
 from ..operators.blocking import candidate_pairs
@@ -52,6 +52,19 @@ def _rep_rows(prep: DataFrame, id_col: str, by_col: str, suffix: str) -> DataFra
     return rep
 
 
+def _resolve_threshold(x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig) -> float:
+    """Reference threshold priority (``LinkOrgs_PFuzzyDiscreteFullFxn.R:67-76``):
+    a non-None ``ave_match_number_per_alias`` recomputes the threshold by
+    calibration and OVERRIDES ``max_dist``; ``max_dist`` applies only when the
+    ave knob is None; both None falls back to the reference's internal
+    default MaxDist = 0.20."""
+    if cfg.ave_match_number_per_alias is not None:
+        return calibrated_threshold(x_prep, y_prep, cfg)
+    if cfg.max_dist is not None:
+        return cfg.max_dist
+    return FALLBACK_MAX_DIST
+
+
 def _raw_match(
     x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float
 ) -> DataFrame:
@@ -63,16 +76,45 @@ def _raw_match(
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
 
-def _embed_match(
-    x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float | None
-) -> DataFrame:
-    """Same blocking key, L2 scoring over hash embeddings (``ml`` analogue)."""
+def _embedded_side(prep: DataFrame, cfg: LinkConfig, embed_col: str | None) -> DataFrame:
+    """``(<NORM_COL>, _emb)`` per distinct normalized name.
+
+    ``embed_col`` names a user-supplied ``array<float>`` column carried on the
+    input (the reference's precomputed ``embedx``/``embedy`` matrices,
+    ``LinkOrgs_LinkOrgs.R:114,197-200``); otherwise the deterministic hash
+    kernel computes one vector per distinct name. User embeddings must be
+    functionally dependent on the name — one deterministic row per name is
+    kept, mirroring the reference's row alignment by name.
+    """
+    if embed_col is not None:
+        return (
+            prep.select(NORM_COL, F.col(embed_col).alias("_emb"))
+            .dropDuplicates([NORM_COL])
+        )
     embed = make_hash_embed_udf(seed=cfg.seed)
-    xe = x_prep.withColumn("_emb", embed(F.col(NORM_COL)))
-    ye = y_prep.withColumn("_emb", embed(F.col(NORM_COL)))
+    return prep.select(NORM_COL).dropDuplicates().withColumn("_emb", embed(F.col(NORM_COL)))
+
+
+def _embed_match(
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    xe: DataFrame,
+    ye: DataFrame,
+    cfg: LinkConfig,
+    max_dist: float | None,
+) -> DataFrame:
+    """Same blocking key, L2 scoring over per-name embeddings (``ml`` analogue)."""
     cands = candidate_pairs(x_prep, y_prep, cfg)
-    xn = xe.select("x_id", F.col(NORM_COL).alias("name_norm_x"), F.col("_emb").alias("_emb_x")).dropDuplicates(["x_id"])
-    yn = ye.select("y_id", F.col(NORM_COL).alias("name_norm_y"), F.col("_emb").alias("_emb_y")).dropDuplicates(["y_id"])
+    xn = (
+        x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"])
+        .join(xe, NORM_COL)
+        .select("x_id", F.col(NORM_COL).alias("name_norm_x"), F.col("_emb").alias("_emb_x"))
+    )
+    yn = (
+        y_prep.select("y_id", NORM_COL).dropDuplicates(["y_id"])
+        .join(ye, NORM_COL)
+        .select("y_id", F.col(NORM_COL).alias("name_norm_y"), F.col("_emb").alias("_emb_y"))
+    )
     scored = (
         cands.select("x_id", "y_id")
         .join(xn, "x_id")
@@ -95,11 +137,32 @@ def link_orgs(
     decomposition: bool = False,
     one_to_one: bool = False,
     checkpointer=None,
+    embed_col_x: str | None = None,
+    embed_col_y: str | None = None,
+    export_embeddings_only: bool = False,
+    return_diagnostics: bool = False,
 ):
     """Link two org-name tables; returns the matched-pair DataFrame.
 
     With ``decomposition=True`` returns ``{"z": ..., "z_raw_names": ...,
     "z_network": ...}`` (reference return list, ``LinkOrgs_LinkOrgs.R:785-787``).
+
+    ``embed_col_x`` / ``embed_col_y`` name user-supplied ``array<float>``
+    columns on ``x`` / ``y`` — the reference's precomputed ``embedx``/
+    ``embedy`` matrices (``LinkOrgs_LinkOrgs.R:114,197-200``; exercised by
+    ``tests/testthat/test-linkorgs-workflows.R:65-88``). Passing them
+    switches matching to the embedding path, exactly as a non-NULL
+    ``embedx`` switches the reference to ``pFuzzyMatch_euclidean``.
+
+    ``export_embeddings_only=True`` early-returns ``{"embedx": DataFrame,
+    "embedy": DataFrame}`` — each ``(<by col>, embedding)`` per input name —
+    without matching (reference ``LinkOrgs_LinkOrgs.R:130,325-338``).
+
+    ``return_diagnostics=False`` (the reference default,
+    ``LinkOrgs_LinkOrgs.R:775-779``) keeps only the back-merged input
+    columns plus ``stringdist`` and ``minDist``; ``True`` adds the
+    match-level diagnostics (ids, normalized names, network distances,
+    canonical_id).
 
     ``checkpointer`` (a ``sources.io.StageCheckpointer``) makes the run
     resumable: the scored-pairs stage, each directory-match stage, and the
@@ -108,6 +171,10 @@ def link_orgs(
     rule: resumable from checkpoint with lineage + metrics — Iceberg
     snapshots at prod, parquet + ``_metrics.jsonl`` here).
     """
+    if (embed_col_x is None) != (embed_col_y is None):
+        raise ValueError("embed_col_x and embed_col_y must be passed together")
+    if embed_col_x is not None:
+        algorithm = "embed"  # reference: non-NULL embedx forces the euclidean matcher
     if algorithm not in ALGORITHMS:
         raise ValueError(f"algorithm must be one of {ALGORITHMS}, got {algorithm!r}")
     if algorithm in ("lookup", "alias") and directory is None:
@@ -119,6 +186,18 @@ def link_orgs(
     x_prep = prepare_side(x, cfg.by_x, "x_id", cfg).cache()
     y_prep = prepare_side(y, cfg.by_y, "y_id", cfg).cache()
 
+    if export_embeddings_only:
+        xe = _embedded_side(x_prep, cfg, embed_col_x)
+        ye = _embedded_side(y_prep, cfg, embed_col_y)
+        return {
+            "embedx": x_prep.join(xe, NORM_COL).select(
+                F.col(cfg.by_x), F.col("_emb").alias("embedding")
+            ),
+            "embedy": y_prep.join(ye, NORM_COL).select(
+                F.col(cfg.by_y), F.col("_emb").alias("embedding")
+            ),
+        }
+
     def _stage(name, build):
         return checkpointer.run(name, build) if checkpointer is not None else build()
 
@@ -126,16 +205,15 @@ def link_orgs(
     z_net = None
 
     if algorithm == "embed":
-        thr = cfg.max_dist
-        if thr is None:
-            # Calibrate on PRE-EMBEDDED sides: the kernel runs once per
-            # sampled name, not once per sampled pair (1000x1000 pairs would
-            # otherwise pay 2M kernel invocations for 2000 names).
+        # Embed (or take user-supplied vectors) per DISTINCT name once: the
+        # kernel never runs per candidate pair, and calibration samples
+        # pre-embedded rows (1000x1000 sample pairs would otherwise pay 2M
+        # kernel invocations for 2000 names).
+        xe = _embedded_side(x_prep, cfg, embed_col_x)
+        ye = _embedded_side(y_prep, cfg, embed_col_y)
+        if cfg.ave_match_number_per_alias is not None:
             from ..operators.calibrate import calibrated_threshold_on_column
 
-            embed = make_hash_embed_udf(seed=cfg.seed)
-            xe = x_prep.select(NORM_COL).dropDuplicates().withColumn("_emb", embed(F.col(NORM_COL)))
-            ye = y_prep.select(NORM_COL).dropDuplicates().withColumn("_emb", embed(F.col(NORM_COL)))
             thr = calibrated_threshold_on_column(
                 xe,
                 ye,
@@ -147,7 +225,11 @@ def link_orgs(
                 nx=xe.count(),
                 ny=ye.count(),
             )
-        z_raw = _embed_match(x_prep, y_prep, cfg, thr)
+        elif cfg.max_dist is not None:
+            thr = cfg.max_dist
+        else:
+            thr = FALLBACK_MAX_DIST
+        z_raw = _embed_match(x_prep, y_prep, xe, ye, cfg, thr)
     elif algorithm == "lookup":
         dir_prep = prepare_directory(directory, cfg).cache()
         # no forced broadcast: directories can be ~0.5e9 aliases; AQE
@@ -162,9 +244,7 @@ def link_orgs(
             "netdist_x", F.lit(0.0)
         ).withColumn("netdist_y", F.lit(0.0))
     else:
-        thr = cfg.max_dist
-        if thr is None:
-            thr = calibrated_threshold(x_prep, y_prep, cfg)
+        thr = _resolve_threshold(x_prep, y_prep, cfg)
         z_raw = _stage("scored_raw", lambda: _raw_match(x_prep, y_prep, cfg, thr))
         if algorithm == "alias":
             # cached: the two directional matches and their calibrations
@@ -219,6 +299,15 @@ def link_orgs(
     x_rep = _rep_rows(x_prep, "x_id", cfg.by_x, "_x")
     y_rep = _rep_rows(y_prep, "y_id", cfg.by_y, "_y")
     out = _stage("z_final", lambda: z.join(x_rep, "x_id").join(y_rep, "y_id"))
+
+    if not return_diagnostics:
+        # Reference default output (LinkOrgs_LinkOrgs.R:775-779): input
+        # columns + stringdist + minDist only; ids / normalized names /
+        # network distances / canonical_id are diagnostics.
+        rep_cols = [c for c in x_rep.columns if c != "x_id"] + [
+            c for c in y_rep.columns if c != "y_id"
+        ]
+        out = out.select(*rep_cols, DIST_COL, "minDist")
 
     if decomposition:
         return {"z": out, "z_raw_names": z_raw, "z_network": z_net}

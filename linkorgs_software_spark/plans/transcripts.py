@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT, LinkConfig
+from ..functions.normalize import normalize_expr
 from .pipeline import link_orgs
 
 MENTION_PATTERN = r"\[\[(.*?)\]\]"
@@ -63,7 +64,18 @@ def link_transcript_mentions(
         algorithm=algorithm,
         directory=directory,
         one_to_one=one_to_one,
+        return_diagnostics=True,  # name_norm_x carries the provenance key
     )
-    # provenance re-join on the original mention string (name_x carries the
-    # representative original name, which for distinct mentions is exact)
-    return mentions.join(z, mentions["name"] == z["name_x"]).drop(mentions["name"])
+    # Provenance re-join on the NORMALIZED mention: link_orgs collapses
+    # normalization-equal raw variants (case/punctuation differences) into
+    # one x_id with a single representative name_x, so a raw-equality join
+    # would silently drop every non-representative variant's occurrences.
+    m = mentions.withColumn("_mention_norm", normalize_expr("name"))
+    out = m.join(z, m["_mention_norm"] == z["name_norm_x"]).drop(
+        m["name"]
+    ).drop("_mention_norm")
+    # hide the diagnostics again — callers get provenance + reference output
+    drop_diag = [c for c in ("x_id", "y_id", "pair_id", "name_norm_x",
+                             "name_norm_y", "netdist_x", "netdist_y",
+                             "canonical_id") if c in out.columns]
+    return out.drop(*drop_diag)

@@ -30,7 +30,9 @@ def incremental_link(
     ``max_dist`` must be fixed (calibration samples are a batch concept);
     pass a threshold calibrated offline on a representative batch.
     """
-    run_cfg = cfg.with_(max_dist=max_dist)
+    # pin the threshold: ave=None keeps calibration (a batch concept) out
+    # of the per-micro-batch path (see LinkConfig priority rule)
+    run_cfg = cfg.with_(max_dist=max_dist, ave_match_number_per_alias=None)
 
     def _link_batch(batch_df: DataFrame, batch_id: int) -> None:
         mentions = extract_mentions(batch_df).withColumnRenamed("name", cfg.by_x)

@@ -10,6 +10,7 @@ from linkorgs_software_spark import (
     assess_match_performance,
     link_orgs,
 )
+from linkorgs_software_spark.config import fixed_threshold_config
 
 
 def test_fuzzy_perfect_recall(spark, fixture_tables):
@@ -58,8 +59,9 @@ def test_network_bridge_links_tiny_directory(spark):
         ],
         "alias_name string, canonical_id string, weights double",
     )
-    cfg = LinkConfig(max_dist=0.2, max_dist_network=0.0)
-    z = link_orgs(x, y, cfg, algorithm="alias", directory=directory)
+    cfg = fixed_threshold_config(max_dist=0.2, max_dist_network=0.0)
+    z = link_orgs(x, y, cfg, algorithm="alias", directory=directory,
+                  return_diagnostics=True)
     pairs = {(r.name_x, r.name_y) for r in z.collect()}
     assert ("apple llc", "apple corp") in pairs
     # raw fuzzy at 0.2 would never match them; evidence is network-only
@@ -83,7 +85,7 @@ def test_decomposition_slots(spark, fixture_tables):
     out = link_orgs(
         fixture_tables["org_x"],
         fixture_tables["org_y"],
-        LinkConfig(max_dist=0.5),
+        fixed_threshold_config(max_dist=0.5, max_dist_network=0.5),
         algorithm="alias",
         directory=fixture_tables["alias_directory"],
         decomposition=True,
@@ -101,7 +103,7 @@ def test_score_fusion_arithmetic(spark):
         [("acme corp", "A", 1.0)], "alias_name string, canonical_id string, weights double"
     )
     z = link_orgs(
-        x, y, LinkConfig(max_dist=0.4, max_dist_network=0.4),
+        x, y, fixed_threshold_config(max_dist=0.4, max_dist_network=0.4),
         algorithm="alias", directory=directory,
     )
     row = z.first()
@@ -112,12 +114,12 @@ def test_score_fusion_arithmetic(spark):
 def test_empty_inputs(spark):
     empty = spark.createDataFrame([], "id long, name string")
     y = spark.createDataFrame([(1, "name a")], "id long, name string")
-    assert link_orgs(empty, y, LinkConfig(max_dist=0.5)).count() == 0
+    assert link_orgs(empty, y, fixed_threshold_config(max_dist=0.5)).count() == 0
 
 
 def test_single_row_self_match(spark):
     x = spark.createDataFrame([(1, "solo company")], "id long, name string")
-    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    z = link_orgs(x, x.selectExpr("id", "name"), fixed_threshold_config(max_dist=0.0))
     assert z.count() == 1
     assert z.first().stringdist == 0.0
 
@@ -126,7 +128,7 @@ def test_very_long_names(spark):
     # reference: test-edge-cases.R 1200-char names
     long_name = "a b " * 300
     x = spark.createDataFrame([(1, long_name)], "id long, name string")
-    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    z = link_orgs(x, x.selectExpr("id", "name"), fixed_threshold_config(max_dist=0.0))
     assert z.count() == 1
 
 
@@ -134,7 +136,7 @@ def test_duplicate_names_single_pair(spark):
     x = spark.createDataFrame(
         [(1, "dup co"), (2, "dup co"), (3, "dup co")], "id long, name string"
     )
-    z = link_orgs(x, x.selectExpr("id", "name"), LinkConfig(max_dist=0.0))
+    z = link_orgs(x, x.selectExpr("id", "name"), fixed_threshold_config(max_dist=0.0))
     # ids are name hashes: output granularity is distinct name pairs
     assert z.count() == 1
 
@@ -162,11 +164,80 @@ def test_deterministic_across_runs(spark, fixture_tables):
     assert p1 == p2
 
 
+def test_ave_match_number_overrides_max_dist(spark, fixture_tables):
+    """Reference priority (PFuzzyDiscreteFullFxn.R:67-76): a non-None
+    ave_match_number_per_alias recalibrates the threshold and OVERRIDES an
+    explicit max_dist; max_dist applies only with ave=None."""
+    x, y = fixture_tables["org_x"], fixture_tables["org_y"]
+    both_set = link_orgs(x, y, LinkConfig(max_dist=0.0, ave_match_number_per_alias=10.0))
+    pinned = link_orgs(x, y, fixed_threshold_config(max_dist=0.0))
+    # max_dist=0.0 keeps only exact matches; the calibrated override admits more
+    assert both_set.count() > pinned.count()
+
+
+def test_diagnostics_hidden_by_default(spark, fixture_tables):
+    """Reference ReturnDiagnostics=F default (LinkOrgs_LinkOrgs.R:775-779)."""
+    x, y = fixture_tables["org_x"], fixture_tables["org_y"]
+    z = link_orgs(x, y, fixed_threshold_config(max_dist=0.5))
+    hidden = {"x_id", "y_id", "pair_id", "name_norm_x", "name_norm_y",
+              "netdist_x", "netdist_y", "canonical_id"}
+    assert hidden.isdisjoint(z.columns)
+    assert {"name_x", "name_y", "stringdist", "minDist"} <= set(z.columns)
+    zd = link_orgs(x, y, fixed_threshold_config(max_dist=0.5), return_diagnostics=True)
+    assert {"x_id", "y_id", "name_norm_x", "netdist_x"} <= set(zd.columns)
+
+
+def test_precomputed_embeddings_passthrough(spark):
+    """Reference embedx/embedy matrices (LinkOrgs_LinkOrgs.R:114,197-200;
+    test-linkorgs-workflows.R:65-88): matching must score the USER vectors,
+    not the hash kernel — identical names with orthogonal vectors must not
+    match; identical vectors must match at distance 0."""
+    x = spark.createDataFrame(
+        [(1, "alpha systems", [1.0, 0.0]), (2, "beta partners", [0.0, 1.0])],
+        "id long, name string, vec array<float>",
+    )
+    y = spark.createDataFrame(
+        [(1, "alpha systems", [0.0, 1.0]), (2, "beta partners", [0.0, 1.0])],
+        "id long, name string, vec array<float>",
+    )
+    z = link_orgs(
+        x, y, fixed_threshold_config(max_dist=0.1),
+        embed_col_x="vec", embed_col_y="vec",
+    )
+    pairs = {(r.name_x, r.name_y): r.stringdist for r in z.collect()}
+    assert ("beta partners", "beta partners") in pairs
+    assert pairs[("beta partners", "beta partners")] == 0.0
+    assert ("alpha systems", "alpha systems") not in pairs  # orthogonal vectors
+
+
+def test_embed_cols_must_come_together(spark, fixture_tables):
+    with pytest.raises(ValueError):
+        link_orgs(
+            fixture_tables["org_x"], fixture_tables["org_y"], LinkConfig(),
+            embed_col_x="vec",
+        )
+
+
+def test_export_embeddings_only(spark, fixture_tables):
+    """Reference ExportEmbeddingsOnly early-return (LinkOrgs_LinkOrgs.R:130,
+    325-338): embeddings per input name, no matching performed."""
+    out = link_orgs(
+        fixture_tables["org_x"], fixture_tables["org_y"], LinkConfig(),
+        algorithm="embed", export_embeddings_only=True,
+    )
+    assert set(out) == {"embedx", "embedy"}
+    ex = out["embedx"]
+    assert set(ex.columns) == {"name", "embedding"}
+    first = ex.first()
+    assert len(first.embedding) == 64
+    assert ex.count() == fixture_tables["org_x"].count()
+
+
 def test_no_per_row_python_in_default_plan(spark, fixture_tables):
     """North rule: no per-row Python. Default (jaccard) plan must contain no
     BatchEvalPython (row-at-a-time UDF) nodes at all."""
     z = link_orgs(
-        fixture_tables["org_x"], fixture_tables["org_y"], LinkConfig(max_dist=0.5)
+        fixture_tables["org_x"], fixture_tables["org_y"], fixed_threshold_config(max_dist=0.5)
     )
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan

@@ -1,14 +1,14 @@
 """Resumable pipeline: link_orgs with a StageCheckpointer skips completed
 stages on re-run (north rule: resume from checkpoint with metrics)."""
 
-from linkorgs_software_spark.config import LinkConfig
+from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
 from linkorgs_software_spark.plans.pipeline import link_orgs
 from linkorgs_software_spark.sources.fixtures import gen_linkage_fixture
 from linkorgs_software_spark.sources.io import StageCheckpointer
 
 
 def test_link_orgs_resumes_from_checkpoints(spark, tmp_path, fixture_tables):
-    cfg = LinkConfig(max_dist=0.5, max_dist_network=0.3)
+    cfg = fixed_threshold_config(max_dist=0.5, max_dist_network=0.3)
     ckpt = StageCheckpointer(spark, str(tmp_path / "stages"))
 
     z1 = link_orgs(
@@ -39,7 +39,7 @@ def test_link_orgs_resumes_from_checkpoints(spark, tmp_path, fixture_tables):
 
 
 def test_checkpointed_equals_uncheckpointed(spark, tmp_path, fixture_tables):
-    cfg = LinkConfig(max_dist=0.5)
+    cfg = fixed_threshold_config(max_dist=0.5)
     ckpt = StageCheckpointer(spark, str(tmp_path / "stages2"))
     plain = link_orgs(fixture_tables["org_x"], fixture_tables["org_y"], cfg)
     ck = link_orgs(

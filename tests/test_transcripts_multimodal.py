@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from linkorgs_software_spark.config import LinkConfig
+from linkorgs_software_spark.config import LinkConfig, fixed_threshold_config
 from linkorgs_software_spark.functions.multimodal import (
     extract_features,
     frame_sample_plan,
@@ -51,7 +51,7 @@ def test_linkage_preserves_transcripts(spark):
     link_orgs(
         mentions.select(F.col("name"), F.lit("m").alias("conv_id")),
         fx["org_y"],
-        LinkConfig(max_dist=0.6),
+        fixed_threshold_config(max_dist=0.6),
     ).count()
 
     after = [(r.conv_id, r.turn_idx, r.text) for r in tr.orderBy("conv_id", "turn_idx").collect()]
