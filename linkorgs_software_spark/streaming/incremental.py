@@ -3,8 +3,15 @@
 Batch logic is reused verbatim — the whole pipeline is DataFrame →
 DataFrame, so `foreachBatch` is the natural streaming adapter: each
 micro-batch of arriving turns has mentions extracted and linked against the
-static y-side, with exactly-once sink semantics delegated to the sink
-(parquet/Iceberg append + checkpointLocation).
+static y-side.
+
+Sink semantics: foreachBatch itself is **at-least-once** (a micro-batch can
+replay after a failure). The parquet sink here is made *effectively
+exactly-once* by writing each batch to a ``batch_id=N`` subdirectory with
+``overwrite`` — a replayed batch overwrites its own output instead of
+appending duplicates (the standard idempotent-foreachBatch pattern; an
+Iceberg/Delta sink would use a transactional MERGE keyed on batch_id
+instead). Readers load ``sink_path`` as a partitioned parquet table.
 """
 
 from __future__ import annotations
@@ -39,7 +46,8 @@ def incremental_link(
         if not mentions.take(1):
             return
         z = link_orgs(mentions, y_static, run_cfg, algorithm="fuzzy")
-        z.write.mode("append").parquet(sink_path)
+        # idempotent per-batch path: replays overwrite, never duplicate
+        z.write.mode("overwrite").parquet(f"{sink_path}/batch_id={batch_id}")
 
     return (
         transcripts_stream.writeStream.foreachBatch(_link_batch)

@@ -7,10 +7,14 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from linkorgs_software_spark.functions.scorers import (
+    _dl_batch,
+    _dl_pair,
     _jaro_batch,
     _jaro_pair,
     _jw_batch,
     _jw_pair,
+    _lcs_batch,
+    _lcs_pair,
     _osa_batch,
     _osa_pair,
 )
@@ -50,6 +54,43 @@ def test_jw_batch_equals_scalar(pairs):
     assert got.tolist() == pytest.approx(want)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=20))
+def test_dl_batch_equals_scalar(pairs):
+    A = np.array([p[0] for p in pairs], dtype=object)
+    B = np.array([p[1] for p in pairs], dtype=object)
+    got = _dl_batch(A, B)
+    want = [_dl_pair(a, b) for a, b in pairs]
+    assert got.tolist() == pytest.approx(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(names, names), min_size=1, max_size=20))
+def test_lcs_batch_equals_scalar(pairs):
+    A = np.array([p[0] for p in pairs], dtype=object)
+    B = np.array([p[1] for p in pairs], dtype=object)
+    got = _lcs_batch(A, B)
+    want = [_lcs_pair(a, b) for a, b in pairs]
+    assert got.tolist() == pytest.approx(want)
+
+
+def test_dl_unrestricted_vs_osa():
+    # classic: dl('ca','abc') = 2 (transposed substring edited again);
+    # OSA forbids that and gives 3
+    A = np.array(["ca"], dtype=object)
+    B = np.array(["abc"], dtype=object)
+    assert _dl_batch(A, B)[0] == 2.0
+    assert _osa_batch(A, B)[0] == 3.0
+    assert _dl_pair("ca", "abc") == 2.0
+
+
+def test_lcs_known_constants():
+    # lcs distance = la + lb - 2*|LCS|: kitten/sitting -> 6+7-2*4 = 5
+    A = np.array(["kitten", "abc"], dtype=object)
+    B = np.array(["sitting", "abd"], dtype=object)
+    assert _lcs_batch(A, B).tolist() == [5.0, 2.0]
+
+
 def test_osa_batch_empty_and_edge():
     A = np.array(["", "a", "", "xy"], dtype=object)
     B = np.array(["", "", "b", "yx"], dtype=object)
@@ -63,9 +104,24 @@ def test_jaro_known_constant():
 
 
 def test_long_strings_capped_consistently():
-    # kernels cap at 64 chars (like the reference's 100-char trigram cap);
+    # kernels cap at 100 chars (the reference's trigram-window cap);
     # equal long strings must still be distance 0 / similarity 1
     s = "abcdefghij" * 20
     A = np.array([s], dtype=object)
     assert _osa_batch(A, A)[0] == 0.0
     assert _jaro_batch(A, A)[0] == 1.0
+
+
+def test_divergence_past_64_chars_detected():
+    # regression: the cap was 64, silently scoring 0 for strings identical in
+    # the first 64 chars; at the 100-char cap a difference at position 70
+    # must be seen by every DP kernel
+    base = "x" * 70
+    a = base + "aaaaa"
+    b = base + "bbbbb"
+    A = np.array([a], dtype=object)
+    B = np.array([b], dtype=object)
+    assert _osa_batch(A, B)[0] == 5.0
+    assert _dl_batch(A, B)[0] == 5.0
+    assert _lcs_batch(A, B)[0] == 10.0
+    assert _jaro_batch(A, B)[0] < 1.0

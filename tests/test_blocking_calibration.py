@@ -44,7 +44,7 @@ def test_blocking_recovers_similar_pairs(spark):
 def test_blocking_shared_fraction_threshold(spark):
     # with min_shared_frac=1.0, only (near-)identical gram sets survive
     cfg = LinkConfig(min_shared_frac=1.0)
-    xp, yp = _sides(spark, ["acme corp"], ["acme corp", "acme corpx"], cfg)
+    xp, yp = _sides(spark, ["acme corp"], ["acme corp", "acme corx"], cfg)
     pairs = candidate_pairs(xp, yp, cfg)
     names = {
         r.ny
@@ -52,10 +52,10 @@ def test_blocking_shared_fraction_threshold(spark):
             yp.select("y_id", F.col("name_norm").alias("ny")), "y_id"
         ).collect()
     }
-    # "acme corpx" lacks x's tail windows "rp"/"p" (its own tails are
-    # "rpx"/"px"/"x"), so full containment of x's grams fails.
+    # reference index (full trigrams only): "acme corx" lacks x's trigram
+    # "orp", so full containment of x's 7 grams fails.
     assert "acme corp" in names
-    assert "acme corpx" not in names
+    assert "acme corx" not in names
 
 
 def test_blocking_df_cap_drops_stop_grams(spark):

@@ -30,6 +30,17 @@ def test_cc_long_chain(spark):
     assert len(cc) == n + 1
 
 
+def test_cc_100_node_path_converges_in_log_rounds(spark):
+    """Pointer jumping must converge a diameter-99 path well inside a
+    logarithmic round budget (one-hop propagation alone would need ~99)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "src long, dst long"
+    )
+    cc = {r.id: r.component for r in connected_components(edges, max_iter=12).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == 100
+
+
 def test_cc_deterministic_min_label(spark):
     edges = spark.createDataFrame([(7, 3), (3, 9), (9, 1)], "src long, dst long")
     cc = {r.id: r.component for r in connected_components(edges).collect()}

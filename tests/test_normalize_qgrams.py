@@ -37,10 +37,21 @@ def test_preprocessing_flags_independent(spark):
 
 
 def test_qgram_windows_include_short_tail(spark):
-    # reference trigram index: windows at every start pos, trailing 1-2 char
+    # tails=True (scoring input): windows at every start pos incl. 1-2 char tails
     df = spark.createDataFrame([("abcd",)], "s string")
     grams = df.select(qgram_array_expr("s", 3).alias("g")).first().g
     assert grams == ["abc", "bcd", "cd", "d"]
+
+
+def test_qgram_blocking_windows_match_reference_index(spark):
+    # tails=False (blocking index, BuildHelpers.R:190-205): full windows only,
+    # plus only the position-1 short window for strings shorter than q
+    df = spark.createDataFrame([("abcd",), ("ab",), ("x",)], "s string")
+    rows = df.select("s", qgram_array_expr("s", 3, tails=False).alias("g")).collect()
+    got = {r.s: r.g for r in rows}
+    assert got["abcd"] == ["abc", "bcd"]  # no 2/1-char tail windows
+    assert got["ab"] == ["ab"]            # position-1 short window kept
+    assert got["x"] == ["x"]
 
 
 def test_qgram_empty_string(spark):

@@ -68,6 +68,42 @@ def test_jaccard_qgram_set_semantics(spark):
     assert _one(spark, "abab", "cdcd", "jaccard") == 1.0
 
 
+def test_hamming_semantics(spark):
+    # stringdist hamming: positional mismatches; Inf on unequal lengths
+    assert _one(spark, "abc", "abd", "hamming") == 1.0
+    assert _one(spark, "abc", "abc", "hamming") == 0.0
+    assert _one(spark, "ab", "abc", "hamming") == float("inf")
+
+
+def test_qgram_bag_distance(spark):
+    # q=2 bags: "abc"={ab,bc}, "abd"={ab,bd} -> |bc|+|bd| = 2
+    assert _one(spark, "abc", "abd", "qgram") == 2.0
+    # bag (not set!) semantics: "aaa"={aa,aa}, "aa"={aa} -> 1
+    assert _one(spark, "aaa", "aa", "qgram") == 1.0
+    assert _one(spark, "abc", "abc", "qgram") == 0.0
+
+
+def test_qgram_cosine_distance(spark):
+    assert _one(spark, "abc", "abc", "cosine") == pytest.approx(0.0, abs=1e-12)
+    # disjoint gram profiles -> 1
+    assert _one(spark, "abab", "cdcd", "cosine") == pytest.approx(1.0, abs=1e-12)
+    # one profile empty (string shorter than q) -> 1; both empty -> 0
+    assert _one(spark, "a", "abc", "cosine") == 1.0
+    assert _one(spark, "a", "b", "cosine") == 0.0
+
+
+def test_soundex_distance(spark):
+    assert _one(spark, "robert", "rupert", "soundex") == 0.0  # both R163
+    assert _one(spark, "robert", "smith", "soundex") == 1.0
+
+
+def test_dl_and_lcs_through_registry(spark):
+    assert _one(spark, "ca", "abc", "dl") == 2.0
+    assert _one(spark, "ca", "abc", "osa") == 3.0
+    assert _one(spark, "kitten", "sitting", "lcs") == 5.0
+    assert _one(spark, "kitten", "sitting", "lv") == 3.0
+
+
 def test_unknown_measure_raises():
     with pytest.raises(ValueError, match="unknown distance measure"):
         distance_expr("nope", F.lit("a"), F.lit("b"))
@@ -75,7 +111,8 @@ def test_unknown_measure_raises():
 
 def test_available_measures_contains_core():
     ms = available_measures()
-    for m in ("jaccard", "levenshtein", "osa", "jw", "jw_winkler", "jaro"):
+    for m in ("jaccard", "levenshtein", "lv", "osa", "dl", "lcs", "jw",
+              "jw_winkler", "jaro", "hamming", "qgram", "cosine", "soundex"):
         assert m in ms
 
 

@@ -40,3 +40,29 @@ def test_incremental_link_file_stream(spark, tmp_path):
     assert out.count() > 0
     # linked mentions are verbatim org names at max_dist 0.3 -> exact pairs
     assert out.filter(F.col("minDist") > 0.3).count() == 0
+    # idempotent sink layout: one batch_id=N partition per micro-batch
+    assert "batch_id" in out.columns
+
+
+def test_incremental_sink_idempotent_on_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must overwrite its own output,
+    not append duplicates — foreachBatch is at-least-once."""
+    from linkorgs_software_spark.streaming.incremental import incremental_link as _  # noqa: F401
+    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.plans.pipeline import link_orgs
+    from linkorgs_software_spark.sources.fixtures import extract_mentions
+
+    fx = gen_linkage_fixture(spark, n_entities=10, seed=7)
+    names = [r.name for r in fx["org_x"].collect()]
+    tr = gen_transcripts(spark, n_conversations=6, seed=7, org_names=names)
+    sink = str(tmp_path / "replay_sink")
+
+    cfg = LinkConfig(max_dist=0.3, ave_match_number_per_alias=None)
+    mentions = extract_mentions(tr).withColumnRenamed("name", "name")
+    z = link_orgs(mentions, fx["org_x"], cfg, algorithm="fuzzy")
+    # simulate the foreachBatch body running twice for the same batch_id
+    z.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
+    n1 = spark.read.parquet(sink).count()
+    z.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == n2 > 0

@@ -100,6 +100,32 @@ def test_media_feature_extraction_shape(spark):
     assert first == again
 
 
+def test_media_decoder_gate_both_paths(spark):
+    """The decode gate: a registered real decoder is used on executors (the
+    registry is snapshot into the mapInPandas closure); unregistered kinds
+    keep the deterministic fallback."""
+    import numpy as np
+
+    from linkorgs_software_spark.functions import multimodal as mm
+
+    media = gen_media_fixture(spark, 9)
+    baseline = {r.media_id: list(r.feature) for r in extract_features(media).collect()}
+
+    def ones_decoder(payload: bytes) -> np.ndarray:
+        return np.ones(mm.FEATURE_DIM, dtype=np.float32)
+
+    mm.register_decoder("image", ones_decoder)
+    try:
+        gated = extract_features(media).collect()
+    finally:
+        del mm._DECODERS["image"]
+    for r in gated:
+        if r.kind == "image":
+            assert list(r.feature) == [1.0] * mm.FEATURE_DIM
+        else:  # audio/video kinds keep the deterministic fallback
+            assert list(r.feature) == baseline[r.media_id]
+
+
 def test_frame_sampling_counts(spark):
     media = gen_media_fixture(spark, 9)
     frames = frame_sample_plan(media, every_ms=1000)
