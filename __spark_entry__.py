@@ -27,7 +27,7 @@ from linkorgs_software_spark.functions.text import (
     stopword_ratio_expr,
     token_count_expr,
 )
-from linkorgs_software_spark.operators.ann import brute_force_topk
+from linkorgs_software_spark.operators.ann import brute_force_topk, ivf_topk
 from linkorgs_software_spark.operators.blocking import candidate_pairs
 from linkorgs_software_spark.operators.cluster import connected_components
 from linkorgs_software_spark.operators.corpus import (
@@ -386,6 +386,20 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_topk_full(spark, sf_dir):
+    """IVF ANN with nprobe == nlist (every list probed): must reproduce the
+    exact brute-force top-k, so the brute-force SQL is an exact oracle of
+    the whole IVF plumbing (seeded k-means centroids, literal-centroid
+    assignment, probe-list explode, per-list re-score, window top-k)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=3, nlist=8, nprobe=8).select(
+        "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_events_running(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = (
@@ -495,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
+        "ivf_topk_full": _q_ivf_topk_full,
         "events_running": _q_events_running,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
@@ -662,6 +677,20 @@ scored as (
 select id_a, id_b, round(cos, 4) as cosine_sim from scored where cos >= 0.99
 """,
         "ann_topk": f"""
+with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
+scored as (
+  select q.query_id, b.vec_id,
+    (list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * b.embedding[i]::double)))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::double * q.embedding[i]::double)))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::double * b.embedding[i]::double))))
+    as cos
+  from embeddings b, q)
+select query_id, vec_id, rank from (
+  select query_id, vec_id,
+    row_number() over (partition by query_id order by cos desc, vec_id asc) as rank
+  from scored) where rank <= 3
+""",
+        "ivf_topk_full": f"""
 with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
 scored as (
   select q.query_id, b.vec_id,

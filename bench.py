@@ -166,6 +166,24 @@ def bench_minhash(spark, sf_dir: str):
     return minhash_lsh_dups(docs, threshold=0.5).count()
 
 
+def bench_embedding_lsh(spark, sf_dir: str):
+    """LSH embedding near-dup (candidates via hyperplane buckets + exact
+    verify) on the sf embeddings with planted perturbed twins — the scale
+    path that replaces the O(n^2) all-pairs verify."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x + float(0.001) as float))").alias("embedding"),
+    )
+    return embedding_neardup_lsh(
+        emb.unionByName(pert), threshold=0.99, num_tables=4
+    ).count()
+
+
 def bench_ann(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -243,6 +261,7 @@ QUERIES = {
     "link_block_score_heavy": bench_linkage_heavy,
     "link_full_pipeline": bench_fixture_linkage,
     "minhash_lsh_dedup": bench_minhash,
+    "embedding_lsh_dedup": bench_embedding_lsh,
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
     "lineitem_agg": bench_lineitem_agg,

@@ -3,15 +3,22 @@
 * ``brute_force_topk`` — exact cosine top-k per query: broadcast the (small)
   query set against the corpus, score natively (zip_with/aggregate), keep k
   by window rank. This is the correctness baseline.
-* ``lsh_buckets`` / ``lsh_topk`` — the scale path: random-hyperplane sign
+* ``lsh_buckets`` / ``lsh_topk`` — scale path 1: random-hyperplane sign
   buckets (seeded, hyperplanes generated driver-side with numpy and embedded
   as literal arrays → pure Catalyst dot products), candidates share a
   bucket, exact re-score inside buckets. Probe multiple independent tables
   (``num_tables``) to trade recall for fan-out, the standard LSH knob.
+* ``ivf_assign`` / ``ivf_topk`` — scale path 2 (IVF / coarse quantizer):
+  k-means centroids trained driver-side on a seeded sample (numpy Lloyd
+  iterations — the *train* step is small by design, like every IVF build),
+  embedded as literal arrays; corpus rows assign to their nearest centroid
+  (pure Catalyst argmax of centroid cosines), queries probe the
+  ``nprobe`` nearest lists and re-score exactly inside them. Recall knob =
+  nprobe/nlist; cost ~ nprobe/nlist of brute force.
 
-At 100 TB the corpus side is bucketed/partitioned by (table, bucket): the
-bucket join is then shuffle-free on the corpus side and the per-bucket
-top-k is a map-side window.
+At 100 TB the corpus side is bucketed/partitioned by the bucket/list id:
+the candidate join is then shuffle-free on the corpus side and the
+per-list top-k is a map-side window.
 """
 
 from __future__ import annotations
@@ -92,6 +99,127 @@ def lsh_buckets(
     return df.withColumn("_tb", F.explode(F.array(*tables))).select(
         "*", F.col("_tb.table_id").alias("table_id"), F.col("_tb.bucket").alias("bucket")
     ).drop("_tb")
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str,
+    nlist: int,
+    seed: int,
+    sample_cap: int = 20_000,
+    iters: int = 10,
+) -> np.ndarray:
+    """Seeded Lloyd k-means on a bounded corpus sample (driver-side numpy).
+
+    IVF training is deliberately small — a coarse quantizer needs only a
+    representative sample, never the full corpus; the bounded ``limit``
+    keeps the driver collect O(sample_cap · dim) at any corpus size.
+    """
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    # cosine k-means: operate on L2-normalized vectors
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X / np.where(norms == 0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    k = min(nlist, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                C[j] = c / n if n > 0 else C[j]
+    return C
+
+
+def _centroid_sims_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """array of cosine sims to each literal centroid — pure Catalyst."""
+    sims = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(w)) for w in c])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_c, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+        sims.append(F.when(nrm == 0, F.lit(-2.0)).otherwise(dot / nrm))
+    return F.array(*sims)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding") -> DataFrame:
+    """Attach ``list_id`` = argmax centroid cosine (ties → lowest id)."""
+    sims = _centroid_sims_expr(vec_col, centroids)
+    return (
+        df.withColumn("_sims", sims)
+        .withColumn(
+            "list_id",
+            (F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1).cast("int"),
+        )
+        .drop("_sims")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_cap: int = 20_000,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid lists.
+
+    Corpus rows join queries on ``list_id`` (queries explode their nprobe
+    probe lists), exact cosine re-score inside, window top-k. Scanned
+    fraction ≈ nprobe/nlist of the corpus per query.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    centroids = _train_centroids(c, vec_col="_cv", nlist=nlist, seed=seed, sample_cap=sample_cap)
+    cb = ivf_assign(c, centroids, vec_col="_cv")
+    sims = _centroid_sims_expr("_qv", centroids)
+    nprobe = min(nprobe, len(centroids))
+    # probe lists: indices of the nprobe largest centroid sims (pure Catalyst:
+    # sort (sim, idx) structs descending, slice, extract idx)
+    pairs = F.transform(
+        sims, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe), lambda p: p["i"].cast("int")
+    )
+    qb = q.withColumn("list_id", F.explode(probes))
+    cand = (
+        cb.join(qb, "list_id")
+        .withColumn("cosine_sim", cosine_sim_expr("_cv", "_qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
 
 
 def lsh_topk(

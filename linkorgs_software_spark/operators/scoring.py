@@ -71,6 +71,6 @@ def score_pairs(
         # disk instead of evicting/OOMing executors (at prod scale the
         # StageCheckpointer persists this stage durably instead —
         # plans/pipeline.py routes through it when one is configured).
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
     return scored

@@ -76,7 +76,7 @@ def _raw_match(
     # stage durably when configured).
     from pyspark.storagelevel import StorageLevel
 
-    cands = candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
 

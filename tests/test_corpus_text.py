@@ -12,7 +12,7 @@ from linkorgs_software_spark.functions.text import (
     token_count_expr,
     word_shingles_expr,
 )
-from linkorgs_software_spark.operators.ann import brute_force_topk, lsh_topk
+from linkorgs_software_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk
 from linkorgs_software_spark.operators.corpus import (
     embedding_neardup,
     embedding_neardup_lsh,
@@ -208,6 +208,29 @@ def test_embedding_neardup_lsh_hot_bucket_capped(spark):
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1000, 1001) in pairs
     assert all(not (a < 500 and b < 500) for a, b in pairs)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """nprobe == nlist scans every list — IVF must reproduce exact top-k."""
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb, q, k=3, nlist=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=3).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=3, nlist=8, nprobe=3).collect()
+    }
+    # the query's own vector lives in the query's nearest list -> always found
+    assert all((i, i) in approx for i in range(5))
+    assert len(exact & approx) / len(exact) >= 0.5
 
 
 def test_lsh_topk_recall_vs_brute_force(spark, emb):

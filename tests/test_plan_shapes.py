@@ -50,6 +50,28 @@ def test_jaccard_plan_has_no_python(spark):
     assert "ArrowEvalPython" not in plan  # fully native
 
 
+def test_scoring_barrier_is_memory_and_disk_deserialized(spark):
+    """The scoring barrier must persist MEMORY_AND_DISK deserialized: spill
+    (never OOM) on oversize, no ser/deser tax on the cached read path."""
+    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.functions.normalize import prepare_side
+    from linkorgs_software_spark.operators.blocking import candidate_pairs
+    from linkorgs_software_spark.operators.scoring import score_pairs
+
+    spark.catalog.clearCache()
+    cfg = LinkConfig()
+    x = spark.createDataFrame([(1, "acme corp"), (2, "zeta ltd")], "id long, name string")
+    xp = prepare_side(x, "name", "x_id", cfg)
+    yp = prepare_side(x.selectExpr("id", "name"), "name", "y_id", cfg)
+    scored = score_pairs(candidate_pairs(xp, yp, cfg), xp, yp, cfg, max_dist=0.5)
+    scored.count()  # materialize the persisted barrier
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) > 0
+    descs = [i.storageLevel().description() for i in infos]
+    assert any("Disk" in d and "Memory" in d and "Deserialized" in d for d in descs), descs
+    spark.catalog.clearCache()
+
+
 def test_small_dim_join_broadcasts(spark):
     big = spark.read.parquet(f"{SF}/orders.parquet")
     small = spark.read.parquet(f"{SF}/region.parquet")
