@@ -31,6 +31,7 @@ from linkorgs_software_spark.operators.ann import brute_force_topk, ivf_topk
 from linkorgs_software_spark.operators.blocking import candidate_pairs
 from linkorgs_software_spark.operators.cluster import connected_components
 from linkorgs_software_spark.operators.corpus import (
+    clean_corpus_verdicts,
     embedding_neardup,
     embedding_neardup_lsh,
     exact_dup_groups,
@@ -332,6 +333,15 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """Pretraining-corpus filter chain: per-doc keep/reason verdicts
+    (length, punct noise, quality, language, exact-dup) in one pass."""
+    docs = _read(spark, sf_dir, "documents")
+    return clean_corpus_verdicts(
+        docs, min_tokens=5, max_punct_ratio=0.3, min_quality=0.2, langs=("en",)
+    )
+
+
 def _q_exact_dup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return exact_dup_groups(docs)
@@ -503,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_bridge": _q_alias_bridge,
         "connected_components": _q_connected_components,
         "doc_stats": _q_doc_stats,
+        "corpus_clean": _q_corpus_clean,
         "exact_dup": _q_exact_dup,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
@@ -635,6 +646,30 @@ select doc_id,
   {lang_case} as lang_pred,
   {fp} as fingerprint
 from documents
+""",
+        "corpus_clean": f"""
+with flags as (
+  select doc_id,
+    ({n_tok} < 5) as too_short,
+    (round({pr}, 6) > 0.3) as too_puncty,
+    (round({quality}, 6) < 0.2) as low_quality,
+    (({lang_case}) not in ('en')) as wrong_lang,
+    md5(text) as h
+  from documents),
+k as (select h, min(doc_id) as keep_id from flags group by 1),
+v as (
+  select f.doc_id, f.too_short, f.too_puncty, f.low_quality, f.wrong_lang,
+         (f.doc_id != k.keep_id) as duplicate
+  from flags f join k using (h))
+select doc_id,
+  not (too_short or too_puncty or low_quality or wrong_lang or duplicate) as keep,
+  case when too_short then 'too_short'
+       when too_puncty then 'too_puncty'
+       when low_quality then 'low_quality'
+       when wrong_lang then 'wrong_lang'
+       when duplicate then 'duplicate'
+       else null end as reason
+from v
 """,
         "exact_dup": """
 with h as (select doc_id, md5(text) as dup_group from documents),

@@ -275,14 +275,9 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
     if master and master.startswith("local-cluster"):
         # separate executor JVMs: ship the package so their python workers
         # can import it (spark-submit --py-files equivalent)
-        import shutil, tempfile, zipfile
+        from tools.package_pyfiles import make_pyfiles_zip
 
-        pkg_zip = os.path.join(tempfile.gettempdir(), "linkorgs_pkg.zip")
-        root = os.path.dirname(os.path.abspath(__file__))
-        with zipfile.ZipFile(pkg_zip, "w") as zf:
-            for path in pathlib_walk(os.path.join(root, "linkorgs_software_spark")):
-                zf.write(path, os.path.relpath(path, root))
-        spark.sparkContext.addPyFile(pkg_zip)
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
     # warm the JVM/session so query timings measure the queries
     spark.range(1000).count()
     secs = {}
@@ -310,13 +305,6 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
         "pairs_scored": counts.get("link_block_score", counts.get(headline, 0)),
         "total_sec": total,
     }
-
-
-def pathlib_walk(top):
-    for dirpath, _dirs, files in os.walk(top):
-        for f in files:
-            if f.endswith(".py"):
-                yield os.path.join(dirpath, f)
 
 
 def run_scaling(sf_dir: str) -> None:

@@ -268,6 +268,79 @@ def embedding_neardup(
     )
 
 
+CLEAN_RULES = ("too_short", "too_puncty", "low_quality", "wrong_lang", "duplicate")
+
+
+def clean_corpus_verdicts(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Per-document cleaning verdicts ``(doc_id, keep, reason)`` — the
+    standard pretraining-corpus filter chain (length / punctuation noise /
+    quality / language / exact-dup) in ONE pass over the scan.
+
+    ``reason`` is the first failing rule in ``CLEAN_RULES`` order (null when
+    kept). Ratio thresholds compare on round(·, 6) so the DuckDB oracle and
+    Spark agree bit-for-bit at rule boundaries. Exact-dup keeps the smallest
+    id per content hash (one groupBy — the only shuffle in the plan).
+    """
+    from ..functions.text import (
+        lang_id_expr,
+        punct_ratio_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    flags = d.select(
+        "doc_id",
+        (token_count_expr("text") < F.lit(int(min_tokens))).alias("too_short"),
+        (F.round(punct_ratio_expr("text"), 6) > F.lit(float(max_punct_ratio))).alias(
+            "too_puncty"
+        ),
+        (F.round(quality_score_expr("text"), 6) < F.lit(float(min_quality))).alias(
+            "low_quality"
+        ),
+        (
+            ~lang_id_expr("text").isin(*langs)
+            if langs is not None
+            else F.lit(False)
+        ).alias("wrong_lang"),
+        F.md5("text").alias("_h"),
+    )
+    if dedup:
+        keepers = flags.groupBy("_h").agg(F.min("doc_id").alias("_keep_id"))
+        flags = flags.join(keepers, "_h").withColumn(
+            "duplicate", F.col("doc_id") != F.col("_keep_id")
+        )
+    else:
+        flags = flags.withColumn("duplicate", F.lit(False))
+    reason = F.lit(None).cast("string")
+    for rule in reversed(CLEAN_RULES):
+        reason = F.when(F.col(rule), F.lit(rule)).otherwise(reason)
+    return flags.select(
+        "doc_id",
+        (~F.greatest(*[F.col(r) for r in CLEAN_RULES])).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def clean_corpus(df: DataFrame, **kw) -> DataFrame:
+    """The kept documents (see ``clean_corpus_verdicts`` for knobs/rules)."""
+    id_col = kw.get("id_col", "doc_id")
+    verdicts = clean_corpus_verdicts(df, **kw)
+    return df.join(
+        verdicts.filter("keep").select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     *,

@@ -5,7 +5,10 @@ late-data handling anywhere in ``LinkOrgs/R/`` (SURVEY.md §2.9) — so batch
 with resumable checkpoints is the primary mode here too. For continuously
 arriving transcripts, ``incremental_link`` wires the same batch pipeline
 into Structured Streaming via ``foreachBatch``: each micro-batch of new
-mentions links against a static reference side and appends to the sink.
+mentions links against a static reference side and appends to the sink;
+``sessionize_stream`` is the custom *stateful* operator
+(``applyInPandasWithState``) giving cross-micro-batch session continuity.
 """
 
 from .incremental import incremental_link  # noqa: F401
+from .sessions import sessionize_stream  # noqa: F401

@@ -14,6 +14,8 @@ from linkorgs_software_spark.functions.text import (
 )
 from linkorgs_software_spark.operators.ann import brute_force_topk, ivf_topk, lsh_topk
 from linkorgs_software_spark.operators.corpus import (
+    clean_corpus,
+    clean_corpus_verdicts,
     embedding_neardup,
     embedding_neardup_lsh,
     exact_dup_groups,
@@ -130,6 +132,27 @@ def test_brute_force_topk_self_is_rank1(spark, emb):
     out = brute_force_topk(emb, q, k=5)
     top1 = {r.query_id: r.vec_id for r in out.filter("rank = 1").collect()}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_clean_corpus_rules_and_reasons(spark):
+    good = "the cat and the dog walked to the house of the friendly neighbor today"
+    rows = [
+        (1, good),                                  # kept
+        (2, "tiny"),                                # too_short
+        (3, "!!! ??? ... ;;; ::: @@@ ### $$$"),     # too_puncty (and short)
+        (4, "el gato y la casa de la madre que vive alli con el perro grande"),  # wrong_lang (es)
+        (5, good),                                  # duplicate of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    v = {r.doc_id: (r.keep, r.reason) for r in
+         clean_corpus_verdicts(docs, min_tokens=5, langs=("en",)).collect()}
+    assert v[1] == (True, None)
+    assert v[2] == (False, "too_short")
+    assert v[3][0] is False and v[3][1] in ("too_short", "too_puncty")
+    assert v[4] == (False, "wrong_lang")
+    assert v[5] == (False, "duplicate")
+    kept = clean_corpus(docs, min_tokens=5, langs=("en",))
+    assert [r.doc_id for r in kept.collect()] == [1]
 
 
 def test_minhash_lsh_hot_bucket_capped(spark, docs):

@@ -44,6 +44,59 @@ def test_incremental_link_file_stream(spark, tmp_path):
     assert "batch_id" in out.columns
 
 
+def test_sessionize_stream_state_spans_micro_batches(spark, tmp_path):
+    """The stateful sessionizer must continue a session across micro-batches
+    (event within the gap of the user's last event from the PREVIOUS batch)
+    and open a new one after a long silence."""
+    import datetime as dt
+
+    from linkorgs_software_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    # batch A: two events 10 min apart (one session)
+    _write("a", [(1, 7, t0), (2, 7, t0 + dt.timedelta(minutes=10))])
+    stream = spark.readStream.schema(schema).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{src}/*")
+    q = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch B: +20 min (same session, continuity lives in state) and +3 h (new)
+    _write("b", [(3, 7, t0 + dt.timedelta(minutes=30)),
+                 (4, 7, t0 + dt.timedelta(hours=3))])
+    q2 = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    out = {r.event_id: r.session_seq for r in spark.read.parquet(sink).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
 def test_incremental_sink_idempotent_on_replay(spark, tmp_path):
     """A replayed micro-batch (same batch_id) must overwrite its own output,
     not append duplicates — foreachBatch is at-least-once."""
