@@ -18,8 +18,9 @@ hash (xxhash64/duckdb hash) crosses the oracle boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.embedding import cosine_sim_expr
 from ..functions.qgrams import jaccard_qgram_dist_expr
@@ -28,19 +29,20 @@ from .blocking import apply_df_cap
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, dup_group, group_size, keep) — keep = smallest id per group."""
+    """(doc_id, dup_group, group_size, keep) — keep = smallest id per group.
+
+    Linear window formulation (ONE scan + ONE shuffle on the content hash);
+    the groupBy + re-join alternative scans the input twice and its two
+    branches race any upstream cache (measured trap — see
+    tests/../spark-local-perf-traps).
+    """
     h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("dup_group"))
-    g = h.groupBy("dup_group").agg(
-        F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("_keep_id")
-    )
-    return (
-        h.join(g, "dup_group")
-        .select(
-            id_col,
-            "dup_group",
-            "group_size",
-            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
-        )
+    w = Window.partitionBy("dup_group")
+    return h.select(
+        id_col,
+        "dup_group",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
 
 
@@ -63,7 +65,9 @@ def ngram_jaccard_dups(
         F.col(id_col).alias("id"),
         word_shingles_expr(text_col, shingle_k).alias("shingles"),
     )
-    idx = sh.select("id", F.explode("shingles").alias("s"))
+    idx = sh.select("id", F.explode("shingles").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
     dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     idx = idx.join(F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")), "s", "left_semi")
     cand = (
@@ -143,6 +147,9 @@ def minhash_lsh_dups(
         for bi in range(bands)
     ]
     banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    # the banded frame feeds the cap count AND both self-join sides: persist
+    # (disk-spillable) so the signature aggregation runs once, not 3x
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     if max_bucket_df is not None:
         banded = apply_df_cap(banded, "bucket", max_bucket_df)
     cand = (
@@ -224,6 +231,9 @@ def simhash_dups(
         for b in range(blocks)
     ]
     blocked = sig.select("id", "sig", F.explode(F.array(*block_cols)).alias("blk"))
+    # simhash_expr (md5 per token) is the expensive projection; persist so the
+    # cap count and both self-join sides read it once
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     if max_bucket_df is not None:
         blocked = apply_df_cap(blocked, "blk", max_bucket_df)
     cand = (
@@ -316,9 +326,10 @@ def clean_corpus_verdicts(
         F.md5("text").alias("_h"),
     )
     if dedup:
-        keepers = flags.groupBy("_h").agg(F.min("doc_id").alias("_keep_id"))
-        flags = flags.join(keepers, "_h").withColumn(
-            "duplicate", F.col("doc_id") != F.col("_keep_id")
+        # linear window (one scan, one shuffle) instead of groupBy + re-join
+        flags = flags.withColumn(
+            "duplicate",
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("_h")),
         )
     else:
         flags = flags.withColumn("duplicate", F.lit(False))
@@ -371,6 +382,9 @@ def embedding_neardup_lsh(
     b = lsh_buckets(
         base, vec_col="v", dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed
     ).withColumn("tb", F.concat_ws(":", "table_id", "bucket")).select("id", "v", "tb")
+    # the bucket id costs n_planes x num_tables literal dot products per row
+    # and feeds the cap count plus both self-join sides — compute it once
+    b = b.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     if max_bucket_df is not None:
         b = apply_df_cap(b, "tb", max_bucket_df)
     cand = (
