@@ -22,8 +22,16 @@ class LinkConfig:
     """
 
     # --- name columns -------------------------------------------------
+    # ``by`` is the reference's shorthand (LinkOrgs_LinkOrgs.R:113: a single
+    # shared column name sets both sides).
     by_x: str = "name"
     by_y: str = "name"
+    by: str | None = None
+
+    def __post_init__(self):
+        if self.by is not None:
+            object.__setattr__(self, "by_x", self.by)
+            object.__setattr__(self, "by_y", self.by)
 
     # --- normalization flags (LinkOrgs_LinkOrgs.R:541-568) -------------
     to_lower: bool = True

@@ -75,6 +75,36 @@ def prepare_side(df: DataFrame, name_col: str, id_col: str, cfg: LinkConfig) -> 
     return out.withColumn(id_col, record_id_expr(NORM_COL))
 
 
+def deconflict_names(df: DataFrame) -> DataFrame:
+    """Collapse ``<col>_x`` / ``<col>_y`` twins that are value-identical.
+
+    Reference ``DeconflictNames`` (``LinkOrgs_BuildHelpers.R:211-236``):
+    after the back-merge, a column pair whose values agree on every row is
+    redundant — drop the ``_y`` twin and strip the suffix; pairs that
+    actually conflict keep both columns. One aggregate pass computes every
+    pair's mismatch count (null-safe), so the check is a single scalar job,
+    not one action per column.
+    """
+    pairs = []
+    for c in df.columns:
+        if c.endswith("_x"):
+            base, other = c[:-2], c[:-2] + "_y"
+            if other in df.columns and base not in df.columns:
+                pairs.append((base, c, other))
+    if not pairs:
+        return df
+    aggs = [
+        F.count(F.when(~F.col(cx).eqNullSafe(F.col(cy)), F.lit(1))).alias(base)
+        for base, cx, cy in pairs
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for base, cx, cy in pairs:
+        if row[base] == 0:
+            out = out.drop(cy).withColumnRenamed(cx, base)
+    return out
+
+
 def pair_id_expr(x_id: Column | str, y_id: Column | str) -> Column:
     """Pair key — reference ``XYref__ID`` (``LinkOrgs_LinkOrgs.R:687``)."""
     cx = F.col(x_id) if isinstance(x_id, str) else x_id

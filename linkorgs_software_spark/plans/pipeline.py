@@ -175,8 +175,20 @@ def link_orgs(
     rule: resumable from checkpoint with lineage + metrics — Iceberg
     snapshots at prod, parquet + ``_metrics.jsonl`` here).
     """
+    # Input validation mirrors the reference's public checks
+    # (tests/testthat/test-input-validation.R): a missing match column and a
+    # bad algorithm fail fast with a clear message instead of a deep
+    # AnalysisException mid-plan.
+    if cfg.by_x not in x.columns:
+        raise ValueError(f"by_x column {cfg.by_x!r} not found in x (has {x.columns})")
+    if cfg.by_y not in y.columns:
+        raise ValueError(f"by_y column {cfg.by_y!r} not found in y (has {y.columns})")
     if (embed_col_x is None) != (embed_col_y is None):
         raise ValueError("embed_col_x and embed_col_y must be passed together")
+    if embed_col_x is not None and embed_col_x not in x.columns:
+        raise ValueError(f"embed_col_x column {embed_col_x!r} not found in x")
+    if embed_col_y is not None and embed_col_y not in y.columns:
+        raise ValueError(f"embed_col_y column {embed_col_y!r} not found in y")
     if embed_col_x is not None:
         algorithm = "embed"  # reference: non-NULL embedx forces the euclidean matcher
     if algorithm not in ALGORITHMS:

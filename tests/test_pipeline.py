@@ -233,6 +233,61 @@ def test_export_embeddings_only(spark, fixture_tables):
     assert ex.count() == fixture_tables["org_x"].count()
 
 
+def test_input_validation_clear_errors(spark):
+    """Mirrors reference test-input-validation.R: missing match columns and
+    bad algorithms fail fast with readable messages."""
+    x = spark.createDataFrame([(1, "a co")], "id long, name string")
+    y = spark.createDataFrame([(1, "a co")], "id long, org string")
+    with pytest.raises(ValueError, match="not found"):
+        link_orgs(x, y, LinkConfig(by_x="nonexistent", by_y="org"))
+    with pytest.raises(ValueError, match="not found"):
+        link_orgs(x, y, LinkConfig(by_x="name", by_y="nonexistent"))
+    with pytest.raises(ValueError, match="algorithm"):
+        link_orgs(x, y, LinkConfig(by_x="name", by_y="org"), algorithm="invalid_algo")
+    with pytest.raises(ValueError, match="not found"):
+        link_orgs(
+            x, y.withColumnRenamed("org", "name"), LinkConfig(),
+            embed_col_x="vec", embed_col_y="vec",
+        )
+
+
+def test_by_shorthand_sets_both_sides(spark):
+    """Reference ``by=`` shorthand (LinkOrgs_LinkOrgs.R:113)."""
+    cfg = LinkConfig(by="org", max_dist=0.0, ave_match_number_per_alias=None)
+    assert cfg.by_x == cfg.by_y == "org"
+    x = spark.createDataFrame([(1, "solo co")], "id long, org string")
+    z = link_orgs(x, x.selectExpr("id", "org"), cfg)
+    assert z.count() == 1
+
+
+def test_na_in_non_name_columns_does_not_crash(spark):
+    # reference test-edge-cases.R:57-68
+    x = spark.createDataFrame(
+        [(None, "acme corp"), (2, None), (3, "acme corp")], "id long, name string"
+    )
+    z = link_orgs(
+        x, x.selectExpr("id", "name"), fixed_threshold_config(max_dist=0.0)
+    )
+    assert z.count() == 1  # null names dropped; null ids carried through
+
+
+def test_deconflict_names_utility(spark):
+    """Mirrors reference DeconflictNames test (test-utilities.R): identical
+    twins collapse, conflicting twins survive."""
+    from linkorgs_software_spark.functions.normalize import deconflict_names
+
+    same = spark.createDataFrame(
+        [("apple", "apple"), ("msft", "msft")], "name_x string, name_y string"
+    )
+    out = deconflict_names(same)
+    assert out.columns == ["name"]
+    diff = spark.createDataFrame(
+        [("apple", "apple"), ("microsoft", "msft")], "name_x string, name_y string"
+    )
+    out2 = deconflict_names(diff)
+    assert set(out2.columns) == {"name_x", "name_y"}
+
+
 def test_no_per_row_python_in_default_plan(spark, fixture_tables):
     """North rule: no per-row Python. Default (jaccard) plan must contain no
     BatchEvalPython (row-at-a-time UDF) nodes at all."""
