@@ -39,6 +39,7 @@ from linkorgs_software_spark.operators.corpus import (
     simhash_expr,
 )
 from linkorgs_software_spark.operators.dedup import keep_min_per_group
+from linkorgs_software_spark.operators.sampling import deterministic_split
 from linkorgs_software_spark.operators.scoring import score_pairs
 from linkorgs_software_spark.plans.pipeline import link_orgs
 
@@ -342,6 +343,16 @@ def _q_corpus_clean(spark, sf_dir):
     )
 
 
+def _q_doc_split(spark, sf_dir):
+    """Content-keyed train/val/test split: stable under repartition/reorder
+    and engine-portable (md5 unit hash), so DuckDB reproduces every
+    assignment bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_split(
+        docs, (0.8, 0.1, 0.1), seed=42, key_cols=("doc_id", "text")
+    ).select("doc_id", F.col("split").cast("long").alias("split"))
+
+
 def _q_exact_dup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return exact_dup_groups(docs)
@@ -514,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "doc_stats": _q_doc_stats,
         "corpus_clean": _q_corpus_clean,
+        "doc_split": _q_doc_split,
         "exact_dup": _q_exact_dup,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
@@ -670,6 +682,16 @@ select doc_id,
        when duplicate then 'duplicate'
        else null end as reason
 from v
+""",
+        "doc_split": """
+with u as (
+  select doc_id,
+    ('0x' || substr(md5('42:' || doc_id::varchar || '|' || text), 1, 8))::bigint
+      / 4294967296.0 as u
+  from documents)
+select doc_id,
+  (case when u < 0.8 then 0 when u < 0.9 then 1 else 2 end)::bigint as split
+from u
 """,
         "exact_dup": """
 with h as (select doc_id, md5(text) as dup_group from documents),

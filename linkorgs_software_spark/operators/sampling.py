@@ -1,0 +1,81 @@
+"""Deterministic, engine-portable sampling & dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible run-to-run, (b) independent of partitioning/row order, and
+(c) recomputable by any engine from the row content alone — none of which
+``DataFrame.sample`` guarantees (it samples per partition with a seed, so a
+repartition changes the sample). Here membership is a pure function of the
+row's key: ``u = int(md5(seed || key)[0:8], 16) / 2^32 ∈ [0, 1)`` — the
+same content hash the dedup suite uses, so the DuckDB oracle reproduces
+every decision bit-for-bit.
+
+This is the engine's seeded-sampling story at the API surface; the internal
+calibration sampler (``operators/calibrate._seeded_sample``) uses the same
+hash-mod idea with xxhash64 where oracle portability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(2**32)
+
+
+def _unit_hash_expr(key: Column, seed: int) -> Column:
+    """Deterministic u ∈ [0, 1) from the row key — md5-based, SQL-portable."""
+    h8 = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key)), 1, 8)
+    return F.conv(h8, 16, 10).cast("double") / F.lit(_HASH_SPACE)
+
+
+def _key_expr(df: DataFrame, key_cols) -> Column:
+    cols = list(key_cols) if key_cols else df.columns
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    seed: int = 42,
+    key_cols=None,
+) -> DataFrame:
+    """Keep rows with u < fraction — a content-keyed Bernoulli sample.
+
+    Stable under repartition/reorder and across engines; the kept set only
+    grows monotonically as ``fraction`` increases (nested samples — useful
+    for scaling-law subsets).
+    """
+    return df.filter(_unit_hash_expr(_key_expr(df, key_cols), seed) < F.lit(float(fraction)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights=(0.9, 0.05, 0.05),
+    *,
+    seed: int = 42,
+    key_cols=None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a ``split`` index (0..len(weights)-1) by hash-bucket ranges.
+
+    The canonical train/val/test assignment: disjoint, exhaustive,
+    content-keyed (a given document always lands in the same split, even
+    across reshuffles or engines — no train/test leakage on re-runs).
+    """
+    total = float(sum(weights))
+    u = _unit_hash_expr(_key_expr(df, key_cols), seed)
+    expr = F.lit(len(weights) - 1)
+    cum = 0.0
+    # evaluate ranges from the last boundary backwards so each WHEN wraps
+    # the previous (u < cum_i => split i for the smallest matching i)
+    boundaries = []
+    for w in weights[:-1]:
+        # round the running sum so accumulated fp error cannot make the
+        # boundary differ from the decimal literal an external engine (or a
+        # user's SQL) would write (0.8 + 0.1 != 0.9 in IEEE doubles)
+        cum = round(cum + float(w) / total, 12)
+        boundaries.append(cum)
+    for i in reversed(range(len(boundaries))):
+        expr = F.when(u < F.lit(boundaries[i]), F.lit(i)).otherwise(expr)
+    return df.withColumn(split_col, expr.cast("int"))

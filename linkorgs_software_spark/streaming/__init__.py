@@ -12,3 +12,4 @@ mentions links against a static reference side and appends to the sink;
 
 from .incremental import incremental_link  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401
+from .windows import windowed_event_stats  # noqa: F401

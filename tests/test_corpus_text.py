@@ -155,6 +155,39 @@ def test_clean_corpus_rules_and_reasons(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
 
 
+def test_deterministic_sample_stable_and_nested(spark, docs):
+    """Content-keyed sampling: identical across runs and repartitionings;
+    smaller fractions are strict subsets of larger ones (nested subsets)."""
+    from linkorgs_software_spark.operators.sampling import deterministic_sample
+
+    s10 = {r.doc_id for r in deterministic_sample(docs, 0.10, key_cols=("doc_id",)).collect()}
+    s10_again = {
+        r.doc_id
+        for r in deterministic_sample(
+            docs.repartition(7), 0.10, key_cols=("doc_id",)
+        ).collect()
+    }
+    s30 = {r.doc_id for r in deterministic_sample(docs, 0.30, key_cols=("doc_id",)).collect()}
+    assert s10 == s10_again
+    assert s10 <= s30
+    n = docs.count()
+    assert 0.03 * n < len(s10) < 0.2 * n  # loose Bernoulli bound
+
+
+def test_deterministic_split_disjoint_exhaustive(spark, docs):
+    from linkorgs_software_spark.operators.sampling import deterministic_split
+
+    out = deterministic_split(docs, (0.8, 0.1, 0.1), key_cols=("doc_id",))
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) <= {0, 1, 2}
+    assert sum(counts.values()) == docs.count()
+    assert counts[0] > counts.get(1, 0) and counts[0] > counts.get(2, 0)
+    # stable assignment: same doc -> same split on rerun
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in deterministic_split(docs.repartition(5), (0.8, 0.1, 0.1), key_cols=("doc_id",)).collect()}
+    assert a == b
+
+
 def test_minhash_lsh_hot_bucket_capped(spark, docs):
     """A flood of identical docs (one degenerate band bucket) must not square:
     with the cap the flood's bucket is dropped, while a disjoint near-dup

@@ -97,6 +97,60 @@ def test_sessionize_stream_state_spans_micro_batches(spark, tmp_path):
     assert out == {1: 1, 2: 1, 3: 1, 4: 2}
 
 
+def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: a window emits once its end passes the
+    watermark, and an event arriving later than the watermark is dropped —
+    the bounded-state / bounded-lateness contract."""
+    import datetime as dt
+
+    from linkorgs_software_spark.streaming import windowed_event_stats
+
+    src = str(tmp_path / "win_src")
+    sink = str(tmp_path / "win_sink")
+    ckpt = str(tmp_path / "win_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            windowed_event_stats(stream, window="10 minutes", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch A: two events in the 12:00 window + one at 13:00 that advances
+    # the watermark to 12:30 (past the 12:00 window's end)
+    _write("a", [
+        (1, "click", t0, 1.0),
+        (2, "click", t0 + dt.timedelta(minutes=5), 1.0),
+        (3, "click", t0 + dt.timedelta(hours=1), 1.0),
+    ])
+    _run()
+    # batch B: a LATE event for the already-finalized 12:00 window (must be
+    # dropped) + a fresh event far ahead so the 13:00 window finalizes too
+    _write("b", [
+        (4, "click", t0 + dt.timedelta(minutes=1), 1.0),   # late — dropped
+        (5, "click", t0 + dt.timedelta(hours=3), 1.0),
+    ])
+    _run()
+
+    out = spark.read.parquet(sink)
+    rows = {r["window"].start.minute + 60 * r["window"].start.hour: r.n for r in out.collect()}
+    assert rows[12 * 60] == 2  # late event 4 did NOT bump the finalized window
+
+
 def test_incremental_sink_idempotent_on_replay(spark, tmp_path):
     """A replayed micro-batch (same batch_id) must overwrite its own output,
     not append duplicates — foreachBatch is at-least-once."""
