@@ -66,10 +66,6 @@ class LinkConfig:
     calibration_sample: int = 1000
     seed: int = 42
 
-    # --- clustering -----------------------------------------------------
-    cc_max_iter: int = 50
-    cc_checkpoint_every: int = 5
-
     # --- misc ------------------------------------------------------------
     shuffle_partitions: int | None = None  # None => leave session setting
 

@@ -32,7 +32,6 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
     check_every: int = 2,
 ) -> DataFrame:
     """Components of an undirected graph → ``(id, component)``.

@@ -73,11 +73,71 @@ class StageCheckpointer:
             df = df.repartition(min_files)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        rows = out.count()
+        # Per-partition lineage (north rule): one row count per output file,
+        # derived in a single pass from input_file_name() — the parquet
+        # stand-in for Iceberg's per-data-file manifest statistics. The same
+        # pass yields the stage total (no extra count() action).
+        from pyspark.sql import functions as F
+
+        per_file = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        rows = sum(r.rows for r in per_file)
         rec = {
             "stage": name,
             "rows": rows,
             "partitions": out.rdd.getNumPartitions(),
+            "secs": round(time.time() - t0, 3),
+            "files": {os.path.basename(r.file): r.rows for r in per_file},
+        }
+        with open(os.path.join(self.base_dir, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return out
+
+    def run_bucketed(
+        self,
+        name: str,
+        build,
+        *,
+        bucket_cols,
+        num_buckets: int = 64,
+        sort_cols=None,
+    ) -> DataFrame:
+        """Materialize a stage as a BUCKETED table (hash-bucketed on
+        ``bucket_cols``, optionally sorted within buckets).
+
+        The co-located-join lever: two stages bucketed on the same key with
+        the same bucket count join WITHOUT a shuffle (no Exchange on either
+        side — asserted in tests/test_plan_shapes.py), and sorted buckets
+        skip the sort of a sort-merge join. This is the parquet/metastore
+        stand-in for Iceberg's bucket partition transform; repeated pair-key
+        joins (score → dedup → fuse → back-merge) reuse one physical
+        distribution instead of re-shuffling per stage.
+        """
+        import re as _re
+
+        suffix = _re.sub(r"\W+", "_", os.path.abspath(self.base_dir)).strip("_")
+        table = f"ckpt_{suffix}_{name}"
+        if self.spark.catalog.tableExists(table):
+            return self.spark.table(table)
+        t0 = time.time()
+        df = build()
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(
+            num_buckets, *bucket_cols
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+        out = self.spark.table(table)
+        rows = out.count()
+        rec = {
+            "stage": name,
+            "table": table,
+            "rows": rows,
+            "bucket_cols": list(bucket_cols),
+            "num_buckets": num_buckets,
             "secs": round(time.time() - t0, 3),
         }
         with open(os.path.join(self.base_dir, "_metrics.jsonl"), "a") as f:
