@@ -35,7 +35,10 @@ from linkorgs_software_spark.operators.corpus import (
     embedding_neardup,
     embedding_neardup_lsh,
     exact_dup_groups,
+    minhash_lsh_dups,
     minhash_signatures,
+    ngram_jaccard_dups,
+    simhash_dups,
     simhash_expr,
 )
 from linkorgs_software_spark.operators.dedup import keep_min_per_group
@@ -363,6 +366,30 @@ def _q_minhash_sig(spark, sf_dir):
     return minhash_signatures(docs, num_hashes=4)
 
 
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    """Full MinHash-LSH near-dup path (portable md5 signatures -> banded
+    bucket self-join -> exact shingle-jaccard verify) — every step
+    reproduced in the DuckDB oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    out = minhash_lsh_dups(docs, num_hashes=4, bands=2, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (pigeonhole bit-block candidates + hamming
+    verify via bit_count(xor)) — oracled end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    out = simhash_dups(docs, max_hamming=2, blocks=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _q_ngram_dup_pairs(spark, sf_dir):
+    """Shared-shingle blocked + exact-jaccard-verified near-dup pairs."""
+    docs = _read(spark, sf_dir, "documents")
+    out = ngram_jaccard_dups(docs, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
 def _q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_expr("text").alias("simhash"))
@@ -529,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup": _q_exact_dup,
         "minhash_sig": _q_minhash_sig,
         "simhash": _q_simhash,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_dup_pairs": _q_ngram_dup_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
@@ -709,6 +739,51 @@ from sh group by id
         "simhash": f"""
 with t as (select doc_id, {toks} as toks from documents)
 select doc_id, ({_simhash_sql(16)})::bigint as simhash from t
+""",
+        "minhash_lsh_pairs": f"""
+with sh as (select doc_id as id, unnest({shingles}) as s from documents),
+sig as (select id, min(md5('0:' || s)) as h0, min(md5('1:' || s)) as h1,
+               min(md5('2:' || s)) as h2, min(md5('3:' || s)) as h3
+        from sh group by id),
+banded as (
+  select id, unnest([md5('0' || '|' || h0 || '|' || h1),
+                     md5('1' || '|' || h2 || '|' || h3)]) as bucket from sig),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from banded a join banded b using (bucket) where a.id < b.id),
+shs as (select doc_id as id, {shingles} as sh from documents),
+verified as (
+  select c.id_a, c.id_b,
+    len(list_intersect(x.sh, y.sh))::double
+      / len(list_distinct(list_concat(x.sh, y.sh)))::double as sim
+  from cand c join shs x on c.id_a = x.id join shs y on c.id_b = y.id)
+select id_a, id_b, round(sim, 6) as jaccard_sim from verified where sim >= 0.3
+""",
+        "simhash_pairs": f"""
+with t as (select doc_id, {toks} as toks from documents),
+sig as (select doc_id as id, ({_simhash_sql(16)})::bigint as sig from t),
+blocked as (select id, sig, unnest([
+    '0:' || ((sig >> 0) % 16)::varchar,
+    '1:' || ((sig >> 4) % 16)::varchar,
+    '2:' || ((sig >> 8) % 16)::varchar,
+    '3:' || ((sig >> 12) % 16)::varchar]) as blk from sig),
+cand as (select distinct a.id as id_a, b.id as id_b, a.sig as sig_a, b.sig as sig_b
+         from blocked a join blocked b using (blk) where a.id < b.id)
+select id_a, id_b, bit_count(xor(sig_a, sig_b))::bigint as hamming
+from cand where bit_count(xor(sig_a, sig_b)) <= 2
+""",
+        "ngram_dup_pairs": f"""
+with shs as (select doc_id as id, {shingles} as sh from documents),
+idx as (select id, unnest(sh) as s from shs),
+keep as (select s from idx group by s having count(*) <= 5000),
+idx2 as (select idx.id, idx.s from idx join keep using (s)),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from idx2 a join idx2 b using (s) where a.id < b.id),
+verified as (
+  select c.id_a, c.id_b,
+    len(list_intersect(x.sh, y.sh))::double
+      / len(list_distinct(list_concat(x.sh, y.sh)))::double as sim
+  from cand c join shs x on c.id_a = x.id join shs y on c.id_b = y.id)
+select id_a, id_b, round(sim, 6) as jaccard_sim from verified where sim >= 0.3
 """,
         "embedding_neardup": f"""
 select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 4) as cosine_sim
