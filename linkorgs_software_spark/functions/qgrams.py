@@ -68,12 +68,29 @@ def jaccard_qgram_dist_expr(a_set: Column | str, b_set: Column | str) -> Column:
 
     Matches R ``stringdist(method='jaccard', q=q)`` (set-based, not bag).
     Empty∪empty is defined as distance 0.0 (identical empties), like
-    stringdist.
+    stringdist. ``|A∪B|`` is derived as ``|A|+|B|−|A∩B|`` so only the
+    intersection array is materialized per pair (the union array build was
+    ~40% of per-pair cost on the blocked-scoring hot path).
     """
     a = F.col(a_set) if isinstance(a_set, str) else a_set
     b = F.col(b_set) if isinstance(b_set, str) else b_set
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = F.size(a).cast("double") + F.size(b).cast("double") - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(F.lit(1.0) - inter / union)
+
+
+def jaccard_dist_from_sizes_expr(
+    a_set: Column | str, b_set: Column | str, n_a: Column | str, n_b: Column | str
+) -> Column:
+    """Jaccard distance when per-side set sizes are ALREADY columns —
+    per-pair work drops to one array_intersect (sizes join in from the
+    per-name side tables instead of being recomputed per candidate)."""
+    a = F.col(a_set) if isinstance(a_set, str) else a_set
+    b = F.col(b_set) if isinstance(b_set, str) else b_set
+    na = (F.col(n_a) if isinstance(n_a, str) else n_a).cast("double")
+    nb = (F.col(n_b) if isinstance(n_b, str) else n_b).cast("double")
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = na + nb - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(F.lit(1.0) - inter / union)
 
 

@@ -130,12 +130,26 @@ def calibrated_threshold(
         # Spread the sample cross join: a BNLJ of two small frames otherwise
         # lands in ONE partition and scores the whole sample on a single core.
         par = x_prep.sparkSession.sparkContext.defaultParallelism
+        if measure == "jaccard":
+            # Pre-gram the SAMPLED names (≤ cap rows per side) so the cross
+            # join computes one array_intersect per pair instead of building
+            # both q-gram sets per pair (cap² set constructions otherwise —
+            # the dominant fixed cost of a calibration).
+            from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
+
+            xs = xs.select(
+                qgram_set_expr(NORM_COL, cfg.qgram).alias("_gx")
+            ).withColumn("_nx", F.size("_gx"))
+            ys = ys.select(
+                qgram_set_expr("_ynorm", cfg.qgram).alias("_gy")
+            ).withColumn("_ny", F.size("_gy"))
+            dist_expr_ = jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny")
+        else:
+            dist_expr_ = distance_expr(measure, NORM_COL, "_ynorm", qgram=cfg.qgram)
         dists = (
             xs.repartition(par)
             .crossJoin(ys)
-            .select(
-                distance_expr(measure, NORM_COL, "_ynorm", qgram=cfg.qgram).alias("dist")
-            )
+            .select(dist_expr_.alias("dist"))
             .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         )
         if q >= 1.0:

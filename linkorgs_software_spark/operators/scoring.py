@@ -20,7 +20,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..config import LinkConfig
 from ..functions.normalize import NORM_COL
-from ..functions.qgrams import jaccard_qgram_dist_expr, qgram_set_expr
+from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
 from ..functions.scorers import distance_expr
 
 DIST_COL = "stringdist"
@@ -44,12 +44,17 @@ def score_pairs(
     yn = y_prep.select(F.col(y_id), F.col(NORM_COL).alias("name_norm_y")).dropDuplicates([y_id])
 
     if cfg.distance_measure == "jaccard":
-        # Precompute each side's q-gram set ONCE per distinct name (n rows)
-        # instead of per candidate pair (can be 1000x more rows): the
-        # per-pair work drops to one array_intersect/array_union.
-        xn = xn.withColumn("_gx", qgram_set_expr("name_norm_x", cfg.qgram))
-        yn = yn.withColumn("_gy", qgram_set_expr("name_norm_y", cfg.qgram))
-        dist = jaccard_qgram_dist_expr("_gx", "_gy")
+        # Precompute each side's q-gram set AND its size ONCE per distinct
+        # name (n rows) instead of per candidate pair (can be 1000x more
+        # rows): the per-pair work drops to ONE array_intersect — the union
+        # size is |A|+|B|−|A∩B| from the joined-in per-side sizes.
+        xn = xn.withColumn("_gx", qgram_set_expr("name_norm_x", cfg.qgram)).withColumn(
+            "_nx", F.size("_gx")
+        )
+        yn = yn.withColumn("_gy", qgram_set_expr("name_norm_y", cfg.qgram)).withColumn(
+            "_ny", F.size("_gy")
+        )
+        dist = jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny")
     else:
         dist = distance_expr(
             cfg.distance_measure, "name_norm_x", "name_norm_y", qgram=cfg.qgram
@@ -60,7 +65,7 @@ def score_pairs(
         .join(xn, x_id)
         .join(yn, y_id)
         .withColumn(DIST_COL, dist)
-        .drop("_gx", "_gy")
+        .drop("_gx", "_gy", "_nx", "_ny")
     )
     if max_dist is not None and max_dist != float("inf"):
         # Materialization barrier before the filter: Catalyst otherwise
