@@ -9,7 +9,7 @@ We re-express them as one frozen dataclass consumed by every stage.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 
 @dataclass(frozen=True)
