@@ -37,6 +37,7 @@ from linkorgs_software_spark.operators.corpus import (
     exact_dup_groups,
     minhash_lsh_dups,
     minhash_signatures,
+    near_dup_groups,
     ngram_jaccard_dups,
     simhash_dups,
     simhash_expr,
@@ -390,6 +391,15 @@ def _q_ngram_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
+def _q_neardup_groups(spark, sf_dir):
+    """Transitive dedup groups over the MinHash-LSH near-dup pairs: pair
+    detection composed with connected components (A~B, B~C => one group) —
+    oracled against a recursive-CTE transitive closure in DuckDB."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dups(docs, num_hashes=4, bands=2, threshold=0.3)
+    return near_dup_groups(docs, pairs)
+
+
 def _q_simhash(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash_expr("text").alias("simhash"))
@@ -559,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
+        "neardup_groups": _q_neardup_groups,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
@@ -784,6 +795,33 @@ verified as (
       / len(list_distinct(list_concat(x.sh, y.sh)))::double as sim
   from cand c join shs x on c.id_a = x.id join shs y on c.id_b = y.id)
 select id_a, id_b, round(sim, 6) as jaccard_sim from verified where sim >= 0.3
+""",
+        "neardup_groups": f"""
+with sh as (select doc_id as id, unnest({shingles}) as s from documents),
+sig as (select id, min(md5('0:' || s)) as h0, min(md5('1:' || s)) as h1,
+               min(md5('2:' || s)) as h2, min(md5('3:' || s)) as h3
+        from sh group by id),
+banded as (
+  select id, unnest([md5('0' || '|' || h0 || '|' || h1),
+                     md5('1' || '|' || h2 || '|' || h3)]) as bucket from sig),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from banded a join banded b using (bucket) where a.id < b.id),
+shs as (select doc_id as id, {shingles} as sh from documents),
+pairs as (
+  select c.id_a, c.id_b from cand c
+  join shs x on c.id_a = x.id join shs y on c.id_b = y.id
+  where len(list_intersect(x.sh, y.sh))::double
+          / len(list_distinct(list_concat(x.sh, y.sh)))::double >= 0.3),
+edges as (select id_a as a, id_b as b from pairs
+          union all select id_b, id_a from pairs),
+reach as (
+  with recursive r(id, comp) as (
+    select doc_id, doc_id from documents
+    union
+    select e.b, r.comp from r join edges e on e.a = r.id)
+  select id, min(comp) as group_id from r group by id)
+select d.doc_id, reach.group_id, (d.doc_id = reach.group_id) as keep
+from documents d join reach on d.doc_id = reach.id
 """,
         "embedding_neardup": f"""
 select a.vec_id as id_a, b.vec_id as id_b, round({cos}, 4) as cosine_sim

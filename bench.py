@@ -342,26 +342,36 @@ def run_scaling(sf_dir: str) -> None:
     pps = {c: round(results[c]["counts"][job] / results[c]["queries"][job]) for c in results}
     eff = (pps[hi] / pps[lo]) / 4.0
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(
-            "# BENCH — measured throughput & scaling\n\n"
-            "Scaling job: batched string-similarity scoring (OSA + Jaro-Winkler\n"
-            "vectorized pandas/Arrow UDFs) of the checkpointed blocked candidate\n"
-            "pairs (9x-replicated customer x supplier names, df-cap blocking)\n"
-            f"from `{sf_dir}` — byte-identical materialized input at both levels;\n"
-            "N vs 4N separate executor JVMs via local-cluster mode, python\n"
-            "scorer workers scale with executors.\n\n"
-            "| executors | pairs scored | seconds | pairs/sec |\n"
-            "|---|---|---|---|\n"
-            f"| local-cluster[{lo},2,4096] (N={lo}) | {results[lo]['counts'][job]} | "
-            f"{results[lo]['queries'][job]} | {pps[lo]} |\n"
-            f"| local-cluster[{hi},2,4096] (4N={hi}) | {results[hi]['counts'][job]} | "
-            f"{results[hi]['queries'][job]} | {pps[hi]} |\n\n"
-            f"**Scaling efficiency (pps{hi}/pps{lo})/4 = {eff:.3f}** "
-            f"(north-rule target >= 0.8; sandbox proxy for N vs 4N executors\n"
-            "per driver instructions — a real multi-node cluster is not\n"
-            "available in this sandbox).\n"
-        )
+    section = (
+        "# BENCH — measured throughput & scaling\n\n"
+        "Scaling job: batched string-similarity scoring (OSA + Jaro-Winkler\n"
+        "vectorized pandas/Arrow UDFs) of the checkpointed blocked candidate\n"
+        "pairs (9x-replicated customer x supplier names, df-cap blocking)\n"
+        f"from `{sf_dir}` — byte-identical materialized input at both levels;\n"
+        "N vs 4N separate executor JVMs via local-cluster mode, python\n"
+        "scorer workers scale with executors.\n\n"
+        "| executors | pairs scored | seconds | pairs/sec |\n"
+        "|---|---|---|---|\n"
+        f"| local-cluster[{lo},2,4096] (N={lo}) | {results[lo]['counts'][job]} | "
+        f"{results[lo]['queries'][job]} | {pps[lo]} |\n"
+        f"| local-cluster[{hi},2,4096] (4N={hi}) | {results[hi]['counts'][job]} | "
+        f"{results[hi]['queries'][job]} | {pps[hi]} |\n\n"
+        f"**Scaling efficiency (pps{hi}/pps{lo})/4 = {eff:.3f}** "
+        f"(north-rule target >= 0.8; sandbox proxy for N vs 4N executors\n"
+        "per driver instructions — a real multi-node cluster is not\n"
+        "available in this sandbox).\n"
+    )
+    # splice: replace only the scaling section, preserving everything from
+    # the first following "## " heading on (quality gate / bench tables)
+    path = "BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(section + tail)
     print(json.dumps({"scaling_efficiency": round(eff, 3), f"pps{lo}": pps[lo], f"pps{hi}": pps[hi]}))
 
 

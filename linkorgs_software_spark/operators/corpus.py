@@ -278,6 +278,38 @@ def embedding_neardup(
     )
 
 
+def near_dup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive near-dup groups: ``(doc_id, group_id, keep)``.
+
+    The corpus-dedup endgame: pair detection (any of the near-dup families)
+    is only half the job — A~B and B~C must collapse into ONE group even
+    when A~C was never emitted. Connected components over the pair edges
+    (min-label + pointer jumping, operators/cluster.py) assign each doc the
+    minimum id of its transitive group; singletons group with themselves;
+    ``keep`` marks the canonical (minimum-id) doc per group — filtering on
+    it yields the deduplicated corpus.
+    """
+    from .cluster import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    lab = all_ids.join(cc, "id", "left").withColumn(
+        "group_id", F.coalesce("component", F.col("id"))
+    )
+    return lab.select(
+        F.col("id").alias(id_col),
+        "group_id",
+        (F.col("id") == F.col("group_id")).alias("keep"),
+    )
+
+
 CLEAN_RULES = ("too_short", "too_puncty", "low_quality", "wrong_lang", "duplicate")
 
 

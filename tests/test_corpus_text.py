@@ -155,6 +155,19 @@ def test_clean_corpus_rules_and_reasons(spark):
     assert [r.doc_id for r in kept.collect()] == [1]
 
 
+def test_near_dup_groups_transitive(spark):
+    """A~B and B~C (no A~C pair emitted) must collapse to ONE group; the
+    minimum id is the kept canonical; untouched docs are singleton keeps."""
+    from linkorgs_software_spark.operators.corpus import near_dup_groups
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: (r.group_id, r.keep) for r in near_dup_groups(docs, pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False), 9: (9, True)}
+
+
 def test_deterministic_sample_stable_and_nested(spark, docs):
     """Content-keyed sampling: identical across runs and repartitionings;
     smaller fractions are strict subsets of larger ones (nested subsets)."""
