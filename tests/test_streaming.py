@@ -97,6 +97,38 @@ def test_sessionize_stream_state_spans_micro_batches(spark, tmp_path):
     assert out == {1: 1, 2: 1, 3: 1, 4: 2}
 
 
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """A doc seen in an earlier micro-batch must not be emitted again, even
+    under a different id; intra-batch dups collapse to the min id."""
+    from linkorgs_software_spark.streaming import incremental_exact_dedup
+
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = incremental_exact_dedup(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    _write("a", [(1, "alpha"), (2, "alpha"), (3, "beta")])   # 2 is intra dup
+    _run()
+    _write("b", [(4, "alpha"), (5, "gamma")])                # 4 is cross dup
+    _run()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs").collect())
+    assert kept == [1, 3, 5]
+    hist = spark.read.parquet(f"{out}/history")
+    assert hist.count() == 3  # one history row per unique content
+
+
 def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg: a window emits once its end passes the
     watermark, and an event arriving later than the watermark is dropped —
