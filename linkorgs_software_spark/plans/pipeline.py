@@ -9,9 +9,10 @@ Algorithms (reference whitelist at ``LinkOrgs/R/LinkOrgs_LinkOrgs.R:164-168``):
                    lifecycle §3.2; both reference variants differ only in
                    which precomputed directory they download, so one
                    algorithm + a caller-supplied directory covers both)
-  * ``embed``    — embedding-space match: same trigram blocking key, L2
-                   scoring over deterministic hash embeddings (reference
-                   ``ml`` path, lifecycle §3.3)
+  * ``embed``    — embedding-space match: L2 scoring over hash or
+                   user-supplied embeddings; candidates from the trigram
+                   key, vector-space LSH, or all-pairs (``embed_blocking``;
+                   reference ``ml`` path, lifecycle §3.3)
 
 Every stage is a pure DataFrame → DataFrame function; the physical plan is
 Catalyst's business (broadcast for the directory, SMJ/AQE for the pair
@@ -106,9 +107,22 @@ def _embed_match(
     ye: DataFrame,
     cfg: LinkConfig,
     max_dist: float | None,
+    blocking: str = "trigram",
 ) -> DataFrame:
-    """Same blocking key, L2 scoring over per-name embeddings (``ml`` analogue)."""
-    cands = candidate_pairs(x_prep, y_prep, cfg)
+    """L2 scoring over per-name embeddings (reference ``ml`` analogue).
+
+    Candidate generation (``blocking``):
+      * ``"trigram"`` — the engine's fixed lexical blocking key (default:
+        cheapest, and the north rule's shared-candidate-set contract).
+      * ``"ann"``     — hyperplane-LSH buckets over the embeddings
+        themselves: candidates are vector-space neighbors, so semantically
+        similar names with NO shared trigrams still match — the
+        scale-correct analogue of the reference's all-pairs euclidean scan
+        (``LinkOrgs_PFuzzyEuclideanInternal.R:133-163`` scores every (ix,
+        iy); O(n²) is fine single-node, not at 10^9 names).
+      * ``"none"``    — the reference's literal all-pairs semantics
+        (bounded inputs only).
+    """
     xn = (
         x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"])
         .join(xe, NORM_COL)
@@ -119,13 +133,32 @@ def _embed_match(
         .join(ye, NORM_COL)
         .select("y_id", F.col(NORM_COL).alias("name_norm_y"), F.col("_emb").alias("_emb_y"))
     )
-    scored = (
-        cands.select("x_id", "y_id")
-        .join(xn, "x_id")
-        .join(yn, "y_id")
-        .withColumn(DIST_COL, l2_dist_udf(F.col("_emb_x"), F.col("_emb_y")))
-        .drop("_emb_x", "_emb_y")
-    )
+    if blocking == "trigram":
+        cands = candidate_pairs(x_prep, y_prep, cfg).select("x_id", "y_id")
+        scored = cands.join(xn, "x_id").join(yn, "y_id")
+    elif blocking == "ann":
+        from ..operators.ann import lsh_buckets
+
+        dim = len(ye.select("_emb").first()["_emb"])
+        kw = dict(vec_col="_emb_b", dim=dim, n_planes=8, num_tables=4, seed=cfg.seed)
+        xb = lsh_buckets(xn.withColumnRenamed("_emb_x", "_emb_b"), **kw).withColumnRenamed(
+            "_emb_b", "_emb_x"
+        )
+        yb = lsh_buckets(yn.withColumnRenamed("_emb_y", "_emb_b"), **kw).withColumnRenamed(
+            "_emb_b", "_emb_y"
+        )
+        scored = (
+            xb.join(yb, ["table_id", "bucket"])
+            .drop("table_id", "bucket")
+            .dropDuplicates(["x_id", "y_id"])
+        )
+    elif blocking == "none":
+        scored = xn.crossJoin(yn)
+    else:
+        raise ValueError(f"embed_blocking must be trigram|ann|none, got {blocking!r}")
+    scored = scored.withColumn(
+        DIST_COL, l2_dist_udf(F.col("_emb_x"), F.col("_emb_y"))
+    ).drop("_emb_x", "_emb_y")
     if max_dist is not None and max_dist != float("inf"):
         scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
     return scored
@@ -143,6 +176,7 @@ def link_orgs(
     checkpointer=None,
     embed_col_x: str | None = None,
     embed_col_y: str | None = None,
+    embed_blocking: str = "trigram",
     export_embeddings_only: bool = False,
     return_diagnostics: bool = False,
 ):
@@ -157,6 +191,12 @@ def link_orgs(
     ``tests/testthat/test-linkorgs-workflows.R:65-88``). Passing them
     switches matching to the embedding path, exactly as a non-NULL
     ``embedx`` switches the reference to ``pFuzzyMatch_euclidean``.
+
+    ``embed_blocking`` picks the embedding path's candidate generator:
+    ``"trigram"`` (fixed lexical key), ``"ann"`` (hyperplane-LSH over the
+    vectors — semantic neighbors without shared trigrams still match, the
+    scale analogue of the reference's all-pairs euclidean scan), or
+    ``"none"`` (literal all-pairs, bounded inputs only).
 
     ``export_embeddings_only=True`` early-returns ``{"embedx": DataFrame,
     "embedy": DataFrame}`` — each ``(<by col>, embedding)`` per input name —
@@ -245,7 +285,7 @@ def link_orgs(
             thr = cfg.max_dist
         else:
             thr = FALLBACK_MAX_DIST
-        z_raw = _embed_match(x_prep, y_prep, xe, ye, cfg, thr)
+        z_raw = _embed_match(x_prep, y_prep, xe, ye, cfg, thr, blocking=embed_blocking)
     elif algorithm == "lookup":
         dir_prep = prepare_directory(directory, cfg).cache()
         # no forced broadcast: directories can be ~0.5e9 aliases; AQE

@@ -210,6 +210,29 @@ def test_precomputed_embeddings_passthrough(spark):
     assert ("alpha systems", "alpha systems") not in pairs  # orthogonal vectors
 
 
+def test_embed_ann_blocking_matches_without_shared_trigrams(spark):
+    """The reference euclidean path scores ALL pairs (no trigram blocking,
+    PFuzzyEuclideanInternal.R:133-163) — names with identical embeddings but
+    zero lexical overlap must match. embed_blocking='ann' (vector-space LSH
+    candidates) and 'none' (literal all-pairs) both recover the pair; the
+    default trigram key, by design, cannot."""
+    x = spark.createDataFrame(
+        [(1, "zzzzz qqqqq", [1.0, 0.0]), (2, "other one", [0.0, 1.0])],
+        "id long, name string, vec array<float>",
+    )
+    y = spark.createDataFrame(
+        [(1, "aaaa bbbb", [1.0, 0.0])], "id long, name string, vec array<float>"
+    )
+    kw = dict(embed_col_x="vec", embed_col_y="vec")
+    cfg = fixed_threshold_config(max_dist=0.1)
+    for mode in ("ann", "none"):
+        z = link_orgs(x, y, cfg, embed_blocking=mode, **kw)
+        pairs = {(r.name_x, r.name_y) for r in z.collect()}
+        assert pairs == {("zzzzz qqqqq", "aaaa bbbb")}, mode
+    z_tri = link_orgs(x, y, cfg, embed_blocking="trigram", **kw)
+    assert z_tri.count() == 0  # no shared trigrams -> no candidates
+
+
 def test_embed_cols_must_come_together(spark, fixture_tables):
     with pytest.raises(ValueError):
         link_orgs(
