@@ -418,26 +418,39 @@ def _hamming(a: Column, b: Column, q: int) -> Column:
 
 def _qgram_bag(a: Column, b: Column, q: int) -> Column:
     """R ``stringdist(method='qgram')``: L1 distance between q-gram *count*
-    vectors (bag semantics). Native: per union gram, |count_a − count_b|."""
+    vectors (bag semantics).
+
+    Only the SHARED distinct grams are iterated: non-shared grams contribute
+    their full counts, so ``dist = |A| + |B| − 2·Σ_{g∈A∩B} min(cA, cB)`` —
+    per-pair cost scales with the overlap, not the union (blocked
+    non-matches have small overlap).
+    """
     ga = F.filter(qgram_array_expr(a, q), lambda g: F.length(g) == q)
     gb = F.filter(qgram_array_expr(b, q), lambda g: F.length(g) == q)
     cnt = lambda arr, g: F.size(F.filter(arr, lambda x: x == g)).cast("long")  # noqa: E731
-    return F.aggregate(
-        F.array_distinct(F.concat(ga, gb)),
+    shared = F.array_intersect(F.array_distinct(ga), F.array_distinct(gb))
+    common = F.aggregate(
+        shared,
         F.lit(0).cast("long"),
-        lambda acc, g: acc + F.abs(cnt(ga, g) - cnt(gb, g)),
-    ).cast("double")
+        lambda acc, g: acc + F.least(cnt(ga, g), cnt(gb, g)),
+    )
+    return (F.size(ga) + F.size(gb) - F.lit(2).cast("int") * common).cast("double")
 
 
 def _qgram_cosine(a: Column, b: Column, q: int) -> Column:
     """R ``stringdist(method='cosine')``: 1 − cosine similarity of q-gram
     count vectors. Both profiles empty ⇒ 0 (identical empties); exactly one
-    empty ⇒ 1 (orthogonal), matching stringdist conventions."""
+    empty ⇒ 1 (orthogonal), matching stringdist conventions.
+
+    The dot product iterates only the shared distinct grams (non-shared
+    grams contribute 0); each norm iterates its own distinct grams.
+    """
     ga = F.filter(qgram_array_expr(a, q), lambda g: F.length(g) == q)
     gb = F.filter(qgram_array_expr(b, q), lambda g: F.length(g) == q)
     cnt = lambda arr, g: F.size(F.filter(arr, lambda x: x == g)).cast("double")  # noqa: E731
+    shared = F.array_intersect(F.array_distinct(ga), F.array_distinct(gb))
     dot = F.aggregate(
-        F.array_distinct(F.concat(ga, gb)),
+        shared,
         F.lit(0.0),
         lambda acc, g: acc + cnt(ga, g) * cnt(gb, g),
     )
