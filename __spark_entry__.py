@@ -195,13 +195,18 @@ _LANGS = {
 }
 
 
-def _simhash_sql(bits: int = 16) -> str:
+def _simhash_sql(bits: int = 64) -> str:
+    """64-bit portable SimHash matching ``simhash_expr``: bit j from bit
+    ``j // 32`` of the ``(j % 32)``-th md5 hex nibble; bit 63 weighted −2⁶³
+    (two's complement — DuckDB rejects a 1<<63 literal)."""
     terms = []
     for j in range(bits):
+        weight = -(2**63) if j == 63 else 2**j
         s = (
             f"case when coalesce(list_sum(list_transform(toks, "
-            f"t -> (ascii(substr(md5(t), {j + 1}, 1)) % 2) * 2 - 1)), 0) > 0 "
-            f"then {2 ** j} else 0 end"
+            f"t -> ((('0x' || substr(md5(t), {(j % 32) + 1}, 1))::bigint "
+            f"// {2 ** (j // 32)}) % 2) * 2 - 1)), 0) > 0 "
+            f"then {weight} else 0 end"
         )
         terms.append(s)
     return " + ".join(terms)
@@ -749,7 +754,7 @@ from sh group by id
 """,
         "simhash": f"""
 with t as (select doc_id, {toks} as toks from documents)
-select doc_id, ({_simhash_sql(16)})::bigint as simhash from t
+select doc_id, ({_simhash_sql(64)})::bigint as simhash from t
 """,
         "minhash_lsh_pairs": f"""
 with sh as (select doc_id as id, unnest({shingles}) as s from documents),
@@ -771,12 +776,12 @@ select id_a, id_b, round(sim, 6) as jaccard_sim from verified where sim >= 0.3
 """,
         "simhash_pairs": f"""
 with t as (select doc_id, {toks} as toks from documents),
-sig as (select doc_id as id, ({_simhash_sql(16)})::bigint as sig from t),
+sig as (select doc_id as id, ({_simhash_sql(64)})::bigint as sig from t),
 blocked as (select id, sig, unnest([
-    '0:' || ((sig >> 0) % 16)::varchar,
-    '1:' || ((sig >> 4) % 16)::varchar,
-    '2:' || ((sig >> 8) % 16)::varchar,
-    '3:' || ((sig >> 12) % 16)::varchar]) as blk from sig),
+    '0:' || ((sig >> 0) % 65536)::varchar,
+    '1:' || ((sig >> 16) % 65536)::varchar,
+    '2:' || ((sig >> 32) % 65536)::varchar,
+    '3:' || ((sig >> 48) % 65536)::varchar]) as blk from sig),
 cand as (select distinct a.id as id_a, b.id as id_b, a.sig as sig_a, b.sig as sig_b
          from blocked a join blocked b using (blk) where a.id < b.id)
 select id_a, id_b, bit_count(xor(sig_a, sig_b))::bigint as hamming

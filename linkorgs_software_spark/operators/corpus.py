@@ -172,32 +172,60 @@ def minhash_lsh_dups(
     )
 
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
 
 
 def simhash_expr(text_col, *, bits: int = SIMHASH_BITS):
-    """Portable SimHash: per-token bit_j = parity of the j-th hex char of
-    md5(token); signature bit j set iff sum over tokens of (2*bit_j − 1) > 0.
+    """Portable 64-bit SimHash: per-token bit_j = bit ``j // 32`` of the
+    ``(j % 32)``-th hex nibble of md5(token); signature bit j set iff the
+    sum over tokens of (2*bit_j − 1) > 0.
+
+    Width matters at scale: a 16-bit signature banded into 4 blocks yields
+    only 64 bucket keys in total, so past ~80k docs every bucket exceeds any
+    sane frequency cap and candidate recall silently collapses to zero.
+    64 bits / 4 blocks gives 4 × 65,536 keys — buckets stay proportional to
+    true near-dup density, not corpus size.
+
+    Bit 63 is composed as −2⁶³ (two's complement) so the signature stays a
+    plain signed long in both Spark and the DuckDB oracle — neither engine
+    accepts a ``1 << 63`` literal.
 
     Pure Catalyst: explode-free (aggregate over the token array).
     """
     from ..functions.text import tokens_expr
 
+    assert 1 <= bits <= 64
     toks = tokens_expr(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
     # md5 once per token; each token contributes a ±1 vector over the bit
     # positions, summed with a single array-accumulator aggregate.
     hashes = F.transform(toks, lambda t: F.md5(t))
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-    contrib = lambda h: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda j: ((F.ascii(F.substring(h, j, 1)) % 2) * 2 - 1).cast("long"),
-    )
+
+    def contrib(h):
+        return F.array(
+            *[
+                (
+                    (
+                        F.shiftright(
+                            F.conv(F.substring(h, (j % 32) + 1, 1), 16, 10).cast("long"),
+                            j // 32,
+                        )
+                        % 2
+                    )
+                    * 2
+                    - 1
+                ).cast("long")
+                for j in range(bits)
+            ]
+        )
+
     sums = F.aggregate(hashes, zero, lambda acc, h: F.zip_with(acc, contrib(h), lambda a, b: a + b))
     out = F.lit(0).cast("long")
     for j in range(bits):
-        out = out + F.when(F.element_at(sums, j + 1) > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0)
-        )
+        weight = -(2**63) if j == 63 else 2**j
+        out = out + F.when(
+            F.element_at(sums, j + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -224,9 +252,13 @@ def simhash_dups(
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
     width = bits // blocks
     sig = df.select(F.col(id_col).alias("id"), simhash_expr(text_col, bits=bits).alias("sig"))
+    # shiftrightunsigned: logical shift keeps block keys non-negative even
+    # when the 64-bit signature's sign bit is set
     block_cols = [
         F.concat_ws(
-            ":", F.lit(str(b)), (F.shiftright("sig", b * width) % (2**width)).cast("string")
+            ":",
+            F.lit(str(b)),
+            (F.shiftrightunsigned("sig", b * width) % (2**width)).cast("string"),
         ).alias(f"blk{b}")
         for b in range(blocks)
     ]

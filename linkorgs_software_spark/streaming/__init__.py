@@ -10,7 +10,7 @@ mentions links against a static reference side and appends to the sink;
 (``applyInPandasWithState``) giving cross-micro-batch session continuity.
 """
 
-from .dedup import incremental_exact_dedup  # noqa: F401
+from .dedup import dedup_batch, incremental_exact_dedup  # noqa: F401
 from .incremental import incremental_link  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401
 from .windows import windowed_event_stats  # noqa: F401

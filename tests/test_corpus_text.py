@@ -235,6 +235,35 @@ def test_simhash_hot_bucket_capped(spark, docs):
     assert all(not (a >= 500000 and b >= 500000) for a, b in pairs)
 
 
+def test_simhash_wide_signature_survives_cap_in_large_distinct_corpus(spark):
+    """The scale regression the old 16-bit signature had: 4-bit blocks give
+    only 64 bucket keys in total, so a corpus of a few thousand DISTINCT
+    docs pushes every bucket past the df cap and recall silently collapses
+    to zero. With the 64-bit signature (4 × 16-bit blocks = 262k keys)
+    buckets track true duplicate density, not corpus size: a planted exact
+    dup must survive a tight cap inside a 3k-doc distinct corpus (the same
+    keys-vs-docs ratio at which the 16-bit scheme provably returns nothing)."""
+    n = 3000
+    filler = spark.range(n).select(
+        (F.col("id") + 10000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("alpha"), F.col("id")),
+            F.concat(F.lit("beta"), F.col("id") * 7),
+            F.concat(F.lit("gamma"), F.col("id") * 13),
+            F.concat(F.lit("delta"), F.col("id") * 31),
+            F.concat(F.lit("omega"), F.col("id") * 97),
+        ).alias("text"),
+    )
+    dup_text = "the planted duplicate document that must still be found"
+    pair = spark.createDataFrame(
+        [(1, dup_text), (2, dup_text)], "doc_id long, text string"
+    )
+    out = simhash_dups(filler.unionAll(pair), max_hamming=0, max_bucket_df=50)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+
+
 def test_embedding_neardup_lsh_recall_vs_brute_force(spark):
     """Planted near-identical vectors: LSH path must recover every
     brute-force pair at a near-dup threshold (deterministic seeds, so the

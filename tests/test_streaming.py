@@ -129,6 +129,53 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     assert hist.count() == 3  # one history row per unique content
 
 
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    """A re-executed micro-batch (failure before checkpoint commit) must
+    reproduce its first attempt's output — NOT anti-join against its own
+    previous attempt's history slice and overwrite itself with nothing."""
+    from linkorgs_software_spark.streaming import dedup_batch
+
+    out = str(tmp_path / "rp_out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")], schema)
+    b1 = spark.createDataFrame([(3, "beta"), (4, "gamma")], schema)
+
+    dedup_batch(b0, 0, out)
+    dedup_batch(b1, 1, out)
+    kept_first = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect()
+    )
+    assert kept_first == [4]  # beta is a cross-batch dup
+
+    dedup_batch(b1, 1, out)  # replay of batch 1 with identical data
+    kept_replay = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect()
+    )
+    assert kept_replay == [4]  # same output, not silently emptied
+    hist = spark.read.parquet(f"{out}/history")
+    assert hist.count() == 3  # alpha, beta, gamma — each exactly once
+
+
+def test_incremental_dedup_corrupt_history_fails_batch(spark, tmp_path):
+    """An unreadable history file must FAIL the batch (so the checkpoint
+    retries) rather than be treated as 'no history yet' and admit dups."""
+    import pytest
+
+    from linkorgs_software_spark.streaming import dedup_batch
+
+    out = str(tmp_path / "cr_out")
+    schema = "doc_id long, text string"
+    dedup_batch(spark.createDataFrame([(1, "alpha")], schema), 0, out)
+    # corrupt batch 0's history partition
+    part_dir = f"{out}/history/batch_id=0"
+    for name in os.listdir(part_dir):
+        if name.endswith(".parquet"):
+            with open(os.path.join(part_dir, name), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        dedup_batch(spark.createDataFrame([(2, "alpha")], schema), 1, out)
+
+
 def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg: a window emits once its end passes the
     watermark, and an event arriving later than the watermark is dropped —
