@@ -554,6 +554,50 @@ def _q_link_fuzzy_full(spark, sf_dir):
     )
 
 
+def _q_link_fuzzy_full_pinned(spark, sf_dir):
+    """The flagship end-to-end composition with a PINNED threshold so
+    calibration (the only non-SQL stage) drops out: prepare → trigram-block →
+    jaccard-score → fuse → keep-best → mutual-best one-to-one → back-merge.
+    Fully hash-oracled, including the two-window one-to-one selection
+    (``plans/pipeline.py`` mutual-best ranks)."""
+    from linkorgs_software_spark.config import fixed_threshold_config
+
+    x, y = _org_sides(spark, sf_dir)
+    cfg = fixed_threshold_config(max_dist=0.5)
+    return link_orgs(x, y, cfg, algorithm="fuzzy", one_to_one=True).select(
+        "name_x", "name_y", "stringdist", "minDist"
+    )
+
+
+def _q_embed_l2_linkage(spark, sf_dir):
+    """Embedding-path linkage over USER-SUPPLIED fixture vectors with a
+    pinned threshold and literal all-pairs candidates — the first
+    hash-oracled row through the vectorized ``l2_dist_udf`` numeric kernel
+    (``functions/embedding.py``). Names are synthetic ('vec <id>') so the
+    join-by-name plumbing is exercised without lexical blocking effects."""
+    from linkorgs_software_spark.config import fixed_threshold_config
+
+    emb = _read(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.concat(F.lit("vec "), F.col("vec_id").cast("string")).alias("name"),
+        F.col("embedding").alias("vec"),
+    )
+    z = link_orgs(
+        side,
+        side,
+        fixed_threshold_config(max_dist=1.30),
+        embed_col_x="vec",
+        embed_col_y="vec",
+        embed_blocking="none",
+    )
+    return z.select(
+        "name_x",
+        "name_y",
+        F.round("stringdist", 6).alias("stringdist"),
+        F.round("minDist", 6).alias("minDist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize": _q_normalize,
@@ -587,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_agg": _q_lineitem_agg,
         "segment_orders": _q_segment_orders,
         "link_fuzzy_full": _q_link_fuzzy_full,  # no oracle: calibration
+        "link_fuzzy_full_pinned": _q_link_fuzzy_full_pinned,
+        "embed_l2_linkage": _q_embed_l2_linkage,
     }
 
 
@@ -939,5 +985,48 @@ select c_mktsegment, count(*) as n_orders,
   (sum(o_totalprice::decimal(18,2)))::double as total_price
 from orders join customer on o_custkey = c_custkey
 group by 1
+""",
+        # full pinned pipeline: normalize -> representative original name per
+        # normalized name -> trigram blocking -> jaccard score+threshold ->
+        # minDist (fuzzy-only: = stringdist) -> mutual-best two-window
+        # one-to-one -> back-merge representatives
+        "link_fuzzy_full_pinned": f"""
+with
+xs_raw as (select distinct p_name as name from part),
+ys_raw as (select distinct p_name || ' ' || p_brand as name from part),
+xr as (select {_norm_sql('name')} as name_norm_x, min(name) as name_x
+       from xs_raw where length({_norm_sql('name')}) > 0 group by 1),
+yr as (select {_norm_sql('name')} as name_norm_y, min(name) as name_y
+       from ys_raw where length({_norm_sql('name')}) > 0 group by 1),
+xt as (select name_norm_x, unnest({_tri_sql('name_norm_x')}) as gram from xr),
+yt as (select name_norm_y, unnest({_tri_sql('name_norm_y')}) as gram from yr),
+xn as (select name_norm_x, count(*) as n_grams_x from xt group by 1),
+cand as (select xt.name_norm_x, yt.name_norm_y, count(*) as shared_grams
+         from xt join yt using (gram) group by 1, 2),
+blocked as (select c.name_norm_x, c.name_norm_y from cand c join xn using (name_norm_x)
+            where c.shared_grams >= ceil(0.05 * xn.n_grams_x)),
+scored as (select name_norm_x, name_norm_y,
+  1.0 - len(list_intersect({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')}))::double
+      / len(list_distinct(list_concat({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')})))::double
+  as stringdist
+  from blocked),
+kept as (select name_norm_x, name_norm_y, stringdist, stringdist as min_dist
+         from scored where stringdist <= 0.5),
+ranked as (select *,
+  row_number() over (partition by name_norm_x order by min_dist asc, name_norm_y asc) as rx,
+  row_number() over (partition by name_norm_y order by min_dist asc, name_norm_x asc) as ry
+  from kept)
+select xr.name_x, yr.name_y, r.stringdist, r.min_dist as "minDist"
+from ranked r join xr using (name_norm_x) join yr using (name_norm_y)
+where rx = 1 and ry = 1
+""",
+        "embed_l2_linkage": """
+with e as (select 'vec ' || vec_id::varchar as name, embedding from embeddings),
+pairs as (select a.name as name_x, b.name as name_y,
+  sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+    i -> (a.embedding[i]::double - b.embedding[i]::double)^2))) as d
+  from e a, e b)
+select name_x, name_y, round(d, 6) as stringdist, round(d, 6) as "minDist"
+from pairs where d <= 1.30
 """,
     }

@@ -70,6 +70,18 @@ class LinkConfig:
     shuffle_partitions: int | None = None  # None => leave session setting
 
     def with_(self, **kw) -> "LinkConfig":
+        """``dataclasses.replace`` with correct ``by`` shorthand semantics.
+
+        ``__post_init__`` re-runs on every replace, so with ``by`` set a
+        plain replace would snap an explicit ``by_x``/``by_y`` override back
+        to ``by``. An explicit per-side override therefore clears ``by``
+        (the untouched side keeps its current value); passing ``by``
+        together with a per-side override is ambiguous and raises.
+        """
+        if ("by_x" in kw or "by_y" in kw) and kw.get("by") is not None:
+            raise ValueError("pass either by= or by_x=/by_y=, not both")
+        if ("by_x" in kw or "by_y" in kw) and self.by is not None:
+            kw.setdefault("by", None)
         return replace(self, **kw)
 
 

@@ -113,15 +113,29 @@ def _train_centroids(
     """Seeded Lloyd k-means on a bounded corpus sample (driver-side numpy).
 
     IVF training is deliberately small — a coarse quantizer needs only a
-    representative sample, never the full corpus; the bounded ``limit``
-    keeps the driver collect O(sample_cap · dim) at any corpus size.
+    representative sample, never the full corpus; the hash-mod filter keeps
+    the driver collect O(sample_cap · dim) at any corpus size.
+
+    The sample is content-keyed (seeded xxhash64 of the vector), NOT
+    ``limit(cap)``: limit takes whichever rows arrive first, so on a
+    sorted/clustered corpus the quantizer would train on one file's worth of
+    biased data and centroids would change run-to-run with partitioning.
+    The collected sample is then canonically ordered driver-side so k-means
+    init (``rng.choice`` over row indices) sees the same matrix no matter
+    how the collect interleaved partitions — centroids are a pure function
+    of (corpus content, seed).
     """
-    rows = (
-        corpus.select(F.col(vec_col).alias("v"))
-        .limit(sample_cap)
-        .collect()
-    )
+    samp = corpus.select(F.col(vec_col).alias("v"))
+    n = samp.count()
+    if n > sample_cap:
+        buckets = max(2, round(n / sample_cap))
+        samp = samp.filter(
+            F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(buckets)) == 0
+        )
+    rows = samp.collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
+    if len(X):
+        X = X[np.lexsort(X.T[::-1])]  # canonical row order: partition-invariant
     # cosine k-means: operate on L2-normalized vectors
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(norms == 0, 1.0, norms)

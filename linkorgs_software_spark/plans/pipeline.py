@@ -41,6 +41,30 @@ from ..operators.scoring import DIST_COL, score_pairs
 
 ALGORITHMS = ("fuzzy", "lookup", "alias", "embed")
 
+# Frames persisted by the CURRENT link_orgs call. Each new call retires the
+# previous call's entries, so a long-lived session running link_orgs in a
+# loop holds at most one call's worth of cached stages instead of leaking
+# executor storage until LRU eviction. A caller that still holds a previous
+# result (e.g. decomposition frames) keeps correct results — Spark just
+# recomputes the released stages on the next action.
+_SESSION_CACHES: list = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def _retire_previous_caches() -> None:
+    while _SESSION_CACHES:
+        df = _SESSION_CACHES.pop()
+        try:
+            df.unpersist(False)
+        except Exception:
+            # best-effort release only: the frame may belong to an already
+            # stopped session; failing retirement must not fail a new run
+            pass
+
 
 def _rep_rows(prep: DataFrame, id_col: str, by_col: str, suffix: str) -> DataFrame:
     """One deterministic representative original row per name-hash id."""
@@ -77,7 +101,9 @@ def _raw_match(
     # stage durably when configured).
     from pyspark.storagelevel import StorageLevel
 
-    cands = candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    cands = _register_cache(
+        candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
 
@@ -108,8 +134,15 @@ def _embed_match(
     cfg: LinkConfig,
     max_dist: float | None,
     blocking: str = "trigram",
+    dim: int | None = None,
 ) -> DataFrame:
     """L2 scoring over per-name embeddings (reference ``ml`` analogue).
+
+    ``dim`` is the embedding width the ANN hyperplanes need. The hash-kernel
+    path passes its constant; only user-supplied vectors fall back to a
+    one-row probe of the (persisted) ``ye`` frame — guarded so an empty y
+    side yields an empty result like the other blocking modes instead of a
+    TypeError.
 
     Candidate generation (``blocking``):
       * ``"trigram"`` — the engine's fixed lexical blocking key (default:
@@ -139,7 +172,16 @@ def _embed_match(
     elif blocking == "ann":
         from ..operators.ann import lsh_buckets
 
-        dim = len(ye.select("_emb").first()["_emb"])
+        if dim is None:
+            head = ye.select("_emb").head(1)
+            if not head:  # empty y side: no candidates, like the other modes
+                return (
+                    xn.crossJoin(yn)
+                    .where(F.lit(False))
+                    .withColumn(DIST_COL, F.lit(None).cast("double"))
+                    .drop("_emb_x", "_emb_y")
+                )
+            dim = len(head[0]["_emb"])
         kw = dict(vec_col="_emb_b", dim=dim, n_planes=8, num_tables=4, seed=cfg.seed)
         xb = lsh_buckets(xn.withColumnRenamed("_emb_x", "_emb_b"), **kw).withColumnRenamed(
             "_emb_b", "_emb_x"
@@ -239,8 +281,11 @@ def link_orgs(
     # The prepared sides feed several plan branches (gram index, gram-count
     # denominator, scoring dims, representative-row back-merge) — cache them
     # so each branch reads the normalized frame instead of re-deriving it.
-    x_prep = prepare_side(x, cfg.by_x, "x_id", cfg).cache()
-    y_prep = prepare_side(y, cfg.by_y, "y_id", cfg).cache()
+    # Retiring the PREVIOUS call's caches first keeps a long-lived session's
+    # executor storage bounded at one call's working set.
+    _retire_previous_caches()
+    x_prep = _register_cache(prepare_side(x, cfg.by_x, "x_id", cfg).cache())
+    y_prep = _register_cache(prepare_side(y, cfg.by_y, "y_id", cfg).cache())
 
     if export_embeddings_only:
         xe = _embedded_side(x_prep, cfg, embed_col_x)
@@ -264,9 +309,21 @@ def link_orgs(
         # Embed (or take user-supplied vectors) per DISTINCT name once: the
         # kernel never runs per candidate pair, and calibration samples
         # pre-embedded rows (1000x1000 sample pairs would otherwise pay 2M
-        # kernel invocations for 2000 names).
-        xe = _embedded_side(x_prep, cfg, embed_col_x)
-        ye = _embedded_side(y_prep, cfg, embed_col_y)
+        # kernel invocations for 2000 names). Persisted: the embedded frames
+        # feed calibration counts + sampling AND the match join — without a
+        # persist the pandas-UDF hash kernel would run 2-3x.
+        from pyspark.storagelevel import StorageLevel
+
+        xe = _register_cache(
+            _embedded_side(x_prep, cfg, embed_col_x).persist(
+                StorageLevel.MEMORY_AND_DISK_DESER
+            )
+        )
+        ye = _register_cache(
+            _embedded_side(y_prep, cfg, embed_col_y).persist(
+                StorageLevel.MEMORY_AND_DISK_DESER
+            )
+        )
         if cfg.ave_match_number_per_alias is not None:
             from ..operators.calibrate import calibrated_threshold_on_column
 
@@ -285,9 +342,22 @@ def link_orgs(
             thr = cfg.max_dist
         else:
             thr = FALLBACK_MAX_DIST
-        z_raw = _embed_match(x_prep, y_prep, xe, ye, cfg, thr, blocking=embed_blocking)
+        from ..functions.embedding import DEFAULT_DIM
+
+        z_raw = _embed_match(
+            x_prep,
+            y_prep,
+            xe,
+            ye,
+            cfg,
+            thr,
+            blocking=embed_blocking,
+            # hash-kernel width is a compile-time constant; only user-supplied
+            # vectors need the (guarded, persisted) one-row probe
+            dim=DEFAULT_DIM if embed_col_x is None else None,
+        )
     elif algorithm == "lookup":
-        dir_prep = prepare_directory(directory, cfg).cache()
+        dir_prep = _register_cache(prepare_directory(directory, cfg).cache())
         # no forced broadcast: directories can be ~0.5e9 aliases; AQE
         # broadcasts small ones automatically
         xd = x_prep.select("x_id", NORM_COL).dropDuplicates(["x_id"]).join(
@@ -306,7 +376,7 @@ def link_orgs(
             # cached: the two directional matches and their calibrations
             # issue several actions against the pruned directory
             # (MEMORY_AND_DISK, so an oversized directory spills, not OOMs)
-            dir_prep = prepare_directory(directory, cfg).cache()
+            dir_prep = _register_cache(prepare_directory(directory, cfg).cache())
             x2net = _stage(
                 "x2net",
                 lambda: match_to_directory(

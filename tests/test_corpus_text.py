@@ -331,6 +331,26 @@ def test_ivf_partial_probe_recall(spark, emb):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_ivf_centroids_invariant_under_repartition(spark, emb):
+    """IVF training samples by content hash, not limit(): the coarse
+    quantizer must be a pure function of (corpus content, seed) — identical
+    centroids however the corpus is partitioned or ordered, including when
+    the sample cap is active."""
+    import numpy as np
+
+    from linkorgs_software_spark.operators.ann import _train_centroids
+
+    c1 = _train_centroids(emb, vec_col="embedding", nlist=4, seed=7, sample_cap=100)
+    c2 = _train_centroids(
+        emb.repartition(7).sortWithinPartitions(F.col("vec_id").desc()),
+        vec_col="embedding",
+        nlist=4,
+        seed=7,
+        sample_cap=100,
+    )
+    assert np.array_equal(c1, c2)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, emb):
     q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, q, k=3)

@@ -233,6 +233,47 @@ def test_embed_ann_blocking_matches_without_shared_trigrams(spark):
     assert z_tri.count() == 0  # no shared trigrams -> no candidates
 
 
+def test_embed_ann_empty_y_returns_empty(spark):
+    """embed_blocking='ann' with an EMPTY y side must yield an empty result
+    like the other blocking modes — the hyperplane-dimension probe must not
+    blow up on a missing first row."""
+    x = spark.createDataFrame(
+        [(1, "alpha systems", [1.0, 0.0])], "id long, name string, vec array<float>"
+    )
+    y = spark.createDataFrame([], "id long, name string, vec array<float>")
+    z = link_orgs(
+        x, y, fixed_threshold_config(max_dist=0.5),
+        embed_col_x="vec", embed_col_y="vec", embed_blocking="ann",
+    )
+    assert z.count() == 0
+
+
+def test_with_per_side_override_beats_by_shorthand(spark):
+    """cfg.with_(by_x=...) on a config built with the ``by`` shorthand must
+    keep the explicit per-side value instead of snapping it back to ``by``
+    when __post_init__ re-runs; by= together with by_x= is ambiguous."""
+    cfg = LinkConfig(by="name")
+    over = cfg.with_(by_x="other")
+    assert over.by_x == "other" and over.by_y == "name"
+    with pytest.raises(ValueError):
+        cfg.with_(by="a", by_x="b")
+
+
+def test_repeated_link_calls_release_prior_caches(spark, fixture_tables):
+    """A long-lived session calling link_orgs in a loop must not accumulate
+    cached stages: each call retires the previous call's persisted frames,
+    so executor storage stays bounded at one call's working set."""
+    cfg = fixed_threshold_config(max_dist=0.4)
+    sizes = []
+    for _ in range(3):
+        z = link_orgs(
+            fixture_tables["org_x"], fixture_tables["org_y"], cfg, algorithm="fuzzy"
+        )
+        z.count()
+        sizes.append(len(spark.sparkContext._jsc.sc().getRDDStorageInfo()))
+    assert sizes[2] <= sizes[0]  # no growth call-over-call
+
+
 def test_embed_cols_must_come_together(spark, fixture_tables):
     with pytest.raises(ValueError):
         link_orgs(
