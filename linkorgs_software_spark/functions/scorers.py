@@ -386,6 +386,123 @@ def jw_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# q-gram profile kernels (bag L1 / cosine): fully vectorized multiset algebra
+# over a whole Arrow chunk — one global np.unique/intersect per chunk instead
+# of nested per-pair array scans. The per-pair Catalyst formulation (kept
+# below as ``_qgram_bag_expr``/``_qgram_cosine_expr`` for the property tests)
+# is O(|shared| x |grams|) per pair inside codegen; the chunk kernel is
+# O(total_grams log total_grams) for the whole batch.
+# ---------------------------------------------------------------------------
+
+
+def _flat_gram_keys(strs: np.ndarray, q: int):
+    """(row_ids, gram_keys) for every length-q window of every string.
+
+    Codepoints pack at 21 bits each (full Unicode range), so packing is
+    collision-free for q <= 3 inside int64; wider q falls back to substring
+    objects — ``np.unique`` handles object arrays, just slower.
+    """
+    rows, keys = [], []
+    pack = 21 * q <= 63
+    for i, s in enumerate(strs):
+        n = len(s)
+        if n < q:
+            continue
+        m = n - q + 1
+        if pack:
+            c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            g = np.zeros(m, dtype=np.int64)
+            for t in range(q):
+                g = (g << 21) | c[t : m + t]
+        else:
+            g = np.array([s[t : t + q] for t in range(m)], dtype=object)
+        keys.append(g)
+        rows.append(np.full(m, i, dtype=np.int64))
+    if not rows:
+        empty_keys = np.empty(0, dtype=np.int64 if pack else object)
+        return np.empty(0, dtype=np.int64), empty_keys
+    return np.concatenate(rows), np.concatenate(keys)
+
+
+def _qgram_profiles(a_strs: np.ndarray, b_strs: np.ndarray, q: int):
+    """Per-row multiset stats of the two q-gram profiles, one pass per chunk.
+
+    Returns (len_a, len_b, common_min, dot, sq_a, sq_b) — everything the bag
+    L1 and the cosine distance need — as float64 arrays of length N.
+    """
+    N = len(a_strs)
+    rows_a, keys_a = _flat_gram_keys(a_strs, q)
+    rows_b, keys_b = _flat_gram_keys(b_strs, q)
+    len_a = np.bincount(rows_a, minlength=N).astype(np.float64)
+    len_b = np.bincount(rows_b, minlength=N).astype(np.float64)
+    # dense gram ids across both sides -> (row, gram) composite int64 keys
+    all_keys = np.concatenate([keys_a, keys_b])
+    if len(all_keys) == 0:
+        z = np.zeros(N, dtype=np.float64)
+        return len_a, len_b, z, z.copy(), z.copy(), z.copy()
+    _, inv = np.unique(all_keys, return_inverse=True)
+    n_dense = int(inv.max()) + 1 if len(inv) else 1
+    comp_a = rows_a * n_dense + inv[: len(keys_a)]
+    comp_b = rows_b * n_dense + inv[len(keys_a) :]
+    ka, ca = np.unique(comp_a, return_counts=True)
+    kb, cb = np.unique(comp_b, return_counts=True)
+    shared, ia, ib = np.intersect1d(ka, kb, assume_unique=True, return_indices=True)
+    srow = (shared // n_dense).astype(np.int64)
+    common = np.bincount(
+        srow, weights=np.minimum(ca[ia], cb[ib]), minlength=N
+    ).astype(np.float64)
+    dot = np.bincount(
+        srow, weights=ca[ia].astype(np.float64) * cb[ib], minlength=N
+    ).astype(np.float64)
+    sq_a = np.bincount(
+        (ka // n_dense).astype(np.int64),
+        weights=ca.astype(np.float64) ** 2,
+        minlength=N,
+    ).astype(np.float64)
+    sq_b = np.bincount(
+        (kb // n_dense).astype(np.int64),
+        weights=cb.astype(np.float64) ** 2,
+        minlength=N,
+    ).astype(np.float64)
+    return len_a, len_b, common, dot, sq_a, sq_b
+
+
+def _make_qgram_chunk(q: int, mode: str):
+    def chunk(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+        len_a, len_b, common, dot, sq_a, sq_b = _qgram_profiles(a_strs, b_strs, q)
+        if mode == "bag":
+            return len_a + len_b - 2.0 * common
+        na, nb = np.sqrt(sq_a), np.sqrt(sq_b)
+        both_empty = (na == 0) & (nb == 0)
+        one_empty = (na == 0) ^ (nb == 0)
+        denom = np.where((na == 0) | (nb == 0), 1.0, na * nb)
+        out = 1.0 - dot / denom
+        out[one_empty] = 1.0
+        out[both_empty] = 0.0
+        return out
+
+    return chunk
+
+
+_QGRAM_UDFS: dict[tuple[int, str], Callable] = {}
+
+
+def _qgram_profile_udf(q: int, mode: str):
+    """Arrow-batched pandas UDF for the bag/cosine q-gram distance at a
+    fixed q (cached per (q, mode) — pandas UDFs close over their params)."""
+    key = (q, mode)
+    if key not in _QGRAM_UDFS:
+        batch = _chunked(_make_qgram_chunk(q, mode))
+
+        @pandas_udf(DoubleType())
+        def dist(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(batch(_as_str_array(a), _as_str_array(b)))
+
+        _QGRAM_UDFS[key] = dist
+    return _QGRAM_UDFS[key]
+
+
+# ---------------------------------------------------------------------------
 # Registry: name -> (col_a, col_b, qgram) -> distance Column
 # ---------------------------------------------------------------------------
 
@@ -416,9 +533,11 @@ def _hamming(a: Column, b: Column, q: int) -> Column:
     )
 
 
-def _qgram_bag(a: Column, b: Column, q: int) -> Column:
+def _qgram_bag_expr(a: Column, b: Column, q: int) -> Column:
     """R ``stringdist(method='qgram')``: L1 distance between q-gram *count*
-    vectors (bag semantics).
+    vectors (bag semantics). Pure-Catalyst reference formulation — the
+    registry uses the chunked numpy kernel; this stays as the independent
+    implementation the batch==scalar property tests compare against.
 
     Only the SHARED distinct grams are iterated: non-shared grams contribute
     their full counts, so ``dist = |A| + |B| − 2·Σ_{g∈A∩B} min(cA, cB)`` —
@@ -437,10 +556,11 @@ def _qgram_bag(a: Column, b: Column, q: int) -> Column:
     return (F.size(ga) + F.size(gb) - F.lit(2).cast("int") * common).cast("double")
 
 
-def _qgram_cosine(a: Column, b: Column, q: int) -> Column:
+def _qgram_cosine_expr(a: Column, b: Column, q: int) -> Column:
     """R ``stringdist(method='cosine')``: 1 − cosine similarity of q-gram
     count vectors. Both profiles empty ⇒ 0 (identical empties); exactly one
-    empty ⇒ 1 (orthogonal), matching stringdist conventions.
+    empty ⇒ 1 (orthogonal), matching stringdist conventions. Pure-Catalyst
+    reference formulation kept for the property tests (see ``_qgram_bag_expr``).
 
     The dot product iterates only the shared distinct grams (non-shared
     grams contribute 0); each norm iterates its own distinct grams.
@@ -482,8 +602,8 @@ _SCORERS: dict[str, Callable[[Column, Column, int], Column]] = {
     "jw": lambda a, b, q: jaro_dist_udf(a, b),  # reference default p=0 => plain Jaro
     "jw_winkler": lambda a, b, q: jw_dist_udf(a, b),
     "hamming": _hamming,
-    "qgram": _qgram_bag,
-    "cosine": _qgram_cosine,
+    "qgram": lambda a, b, q: _qgram_profile_udf(q, "bag")(a, b),
+    "cosine": lambda a, b, q: _qgram_profile_udf(q, "cosine")(a, b),
     "soundex": _soundex,
 }
 

@@ -125,3 +125,76 @@ def test_divergence_past_64_chars_detected():
     assert _dl_batch(A, B)[0] == 5.0
     assert _lcs_batch(A, B)[0] == 10.0
     assert _jaro_batch(A, B)[0] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# q-gram profile kernels (bag L1 / cosine): chunk kernel vs an independent
+# Counter-based scalar reference, across q values including the object-key
+# fallback (q=4, where 21-bit packing no longer fits int64)
+# ---------------------------------------------------------------------------
+
+
+def _profile(s, q):
+    from collections import Counter
+
+    return Counter(s[i : i + q] for i in range(max(len(s) - q + 1, 0)))
+
+
+def _bag_scalar(a, b, q):
+    ca, cb = _profile(a, q), _profile(b, q)
+    common = sum(min(ca[g], cb[g]) for g in ca.keys() & cb.keys())
+    return float(sum(ca.values()) + sum(cb.values()) - 2 * common)
+
+
+def _cosine_scalar(a, b, q):
+    import math
+
+    ca, cb = _profile(a, q), _profile(b, q)
+    na = math.sqrt(sum(v * v for v in ca.values()))
+    nb = math.sqrt(sum(v * v for v in cb.values()))
+    if na == 0 and nb == 0:
+        return 0.0
+    if na == 0 or nb == 0:
+        return 1.0
+    dot = sum(ca[g] * cb[g] for g in ca.keys() & cb.keys())
+    return 1.0 - dot / (na * nb)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(names, names), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=4),
+)
+def test_qgram_bag_chunk_equals_scalar(pairs, q):
+    from linkorgs_software_spark.functions.scorers import _make_qgram_chunk
+
+    A = np.array([p[0] for p in pairs], dtype=object)
+    B = np.array([p[1] for p in pairs], dtype=object)
+    got = _make_qgram_chunk(q, "bag")(A, B)
+    want = [_bag_scalar(a, b, q) for a, b in pairs]
+    assert got.tolist() == pytest.approx(want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(names, names), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=4),
+)
+def test_qgram_cosine_chunk_equals_scalar(pairs, q):
+    from linkorgs_software_spark.functions.scorers import _make_qgram_chunk
+
+    A = np.array([p[0] for p in pairs], dtype=object)
+    B = np.array([p[1] for p in pairs], dtype=object)
+    got = _make_qgram_chunk(q, "cosine")(A, B)
+    want = [_cosine_scalar(a, b, q) for a, b in pairs]
+    assert got.tolist() == pytest.approx(want)
+
+
+def test_qgram_chunk_unicode_past_bmp():
+    # 21-bit packing must keep astral-plane codepoints collision-free
+    from linkorgs_software_spark.functions.scorers import _make_qgram_chunk
+
+    a, b = "a\U0001F600b", "a\U0001F601b"  # differ only in the emoji
+    A = np.array([a], dtype=object)
+    B = np.array([b], dtype=object)
+    assert _make_qgram_chunk(2, "bag")(A, B)[0] == _bag_scalar(a, b, 2)
