@@ -545,6 +545,22 @@ def _q_props_json(spark, sf_dir):
     return ev.select("event_id", json_prop_expr("props", "k").alias("k_val"))
 
 
+def _q_blocking_quality(spark, sf_dir):
+    """Blocking-stage quality metrics (pairs completeness + reduction
+    ratio) of the trigram candidate generator against the derivable truth
+    pairs — the measurement that tunes blocking keys at scale."""
+    from linkorgs_software_spark.operators.assess import assess_blocking
+
+    xp, yp = _prepared_sides(spark, sf_dir)
+    pairs = candidate_pairs(xp, yp, CFG)
+    xn = xp.select("x_id", F.col(NORM_COL).alias("name_x")).dropDuplicates(["x_id"])
+    yn = yp.select("y_id", F.col(NORM_COL).alias("name_y")).dropDuplicates(["y_id"])
+    cand = pairs.join(xn, "x_id").join(yn, "y_id").select("name_x", "name_y")
+    n_x = xp.select(NORM_COL).distinct().count()
+    n_y = yp.select(NORM_COL).distinct().count()
+    return assess_blocking(cand, _truth_pairs(spark, sf_dir), n_x=n_x, n_y=n_y)
+
+
 def _q_link_fuzzy_full(spark, sf_dir):
     """Full pipeline incl. seeded calibration — calibration(approxQuantile)
     is not ANSI-SQL-expressible; rows-only check."""
@@ -633,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fuzzy_full": _q_link_fuzzy_full,  # no oracle: calibration
         "link_fuzzy_full_pinned": _q_link_fuzzy_full_pinned,
         "embed_l2_linkage": _q_embed_l2_linkage,
+        "blocking_quality": _q_blocking_quality,
     }
 
 
@@ -1019,6 +1036,22 @@ ranked as (select *,
 select xr.name_x, yr.name_y, r.stringdist, r.min_dist as "minDist"
 from ranked r join xr using (name_norm_x) join yr using (name_norm_y)
 where rx = 1 and ry = 1
+""",
+        "blocking_quality": f"""
+{_BLOCKED_CTE},
+bl as (select distinct name_x, name_y from blocked),
+truth as (select distinct {_norm_sql('p_name')} as name_x,
+                 {_norm_sql("p_name || ' ' || p_brand")} as name_y from part),
+nx as (select count(distinct {_norm_sql('p_name')}) as v from part),
+ny as (select count(distinct {_norm_sql("p_name || ' ' || p_brand")}) as v from part),
+c as (select count(*) as n_candidates from bl),
+t as (select count(*) as n_truth from truth),
+cov as (select count(*) as n_covered from truth join bl using (name_x, name_y))
+select n_candidates, n_truth, n_covered,
+  round(case when n_truth > 0 then n_covered::double / n_truth else 0.0 end, 6)
+    as pairs_completeness,
+  round(1.0 - n_candidates::double / (nx.v * ny.v), 6) as reduction_ratio
+from c, t, cov, nx, ny
 """,
         "embed_l2_linkage": """
 with e as (select 'vec ' || vec_id::varchar as name, embedding from embeddings),

@@ -11,6 +11,12 @@ Default mode (what the driver runs): executes the headline queries on
 local[8] and local[32] on the same input and writes both throughputs plus
 the scaling efficiency to BENCH/BASELINE.md (the sandbox proxy for the
 north rule's N vs 4N executor criterion).
+
+``--ab GIT_REF`` mode runs the working tree and a worktree of GIT_REF
+INTERLEAVED (alternating which goes first each rep) and reports per-query
+medians — the contention-honest protocol: single-shot timings on this host
+have shown 5x swings, so round-over-round comparisons must come from this
+mode, not from one-off runs.
 """
 
 from __future__ import annotations
@@ -384,6 +390,82 @@ def run_scaling(sf_dir: str) -> None:
     print(json.dumps({"scaling_efficiency": round(eff, 3), f"pps{lo}": pps[lo], f"pps{hi}": pps[hi]}))
 
 
+AB_DEFAULT_QUERIES = "link_block_score_heavy,link_full_pipeline,f1_gate,minhash_lsh_dedup"
+
+
+def _ab_worktree(ref: str) -> str:
+    """Detached git worktree of ``ref`` under /tmp (reused across runs)."""
+    sha = subprocess.run(
+        ["git", "rev-parse", ref], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    wt = f"/tmp/linkorgs_ab_{sha[:12]}"
+    if not os.path.exists(os.path.join(wt, "bench.py")):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, sha],
+            check=True,
+            capture_output=True,
+        )
+    return wt
+
+
+def _ab_run_variant(cwd: str, queries: str, sf_dir: str, cores: int) -> dict:
+    """One bench subprocess in ``cwd``; returns its per-query seconds."""
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--queries", queries, "--cores", str(cores)],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"A/B subprocess in {cwd} failed:", out.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
+    return json.loads(lines[-1])["queries"]
+
+
+def run_ab(ref: str, sf_dir: str, queries: str, reps: int, cores: int) -> None:
+    """Interleaved A/B of the working tree vs a git ref, reporting MEDIANS.
+
+    Single-shot timings on this host carry up to 5x contention noise
+    (round-2 adjudication: the same query measured 29s and 164s within ten
+    minutes). Interleaving current/ref within each rep exposes both variants
+    to the same load profile, and medians-of-reps resist one bad window —
+    so a regression claim (or a speedup headline) is reproducible on demand
+    instead of being a property of the minute it was measured in.
+    """
+    import statistics
+
+    wt = _ab_worktree(ref)
+    cur, old = {}, {}
+    for rep in range(reps):
+        # alternate which variant goes first so slow-drifting load can't
+        # systematically favor one side
+        order = [("cur", "."), ("ref", wt)] if rep % 2 == 0 else [("ref", wt), ("cur", ".")]
+        for label, cwd in order:
+            secs = _ab_run_variant(cwd, queries, sf_dir, cores)
+            dst = cur if label == "cur" else old
+            for q, s in secs.items():
+                dst.setdefault(q, []).append(s)
+    report = {}
+    for q in sorted(cur):
+        cm = statistics.median(cur[q])
+        rm = statistics.median(old.get(q, [float("nan")]))
+        report[q] = {
+            "cur_median_sec": round(cm, 3),
+            "ref_median_sec": round(rm, 3),
+            "speedup_ref_over_cur": round(rm / cm, 3) if cm else None,
+            "cur_all": cur[q],
+            "ref_all": old.get(q, []),
+        }
+    print(
+        json.dumps(
+            {"mode": "ab", "ref": ref, "reps": reps, "cores": cores, "sf": sf_dir,
+             "queries": report}
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=CPUS)
@@ -391,7 +473,19 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--ab",
+        default=None,
+        metavar="GIT_REF",
+        help="interleaved median-of-N A/B: working tree vs GIT_REF (worktree)",
+    )
+    ap.add_argument("--reps", type=int, default=3, help="A/B repetitions per variant")
     args = ap.parse_args()
+    if args.ab:
+        run_ab(
+            args.ab, args.sf_dir, args.queries or AB_DEFAULT_QUERIES, args.reps, args.cores
+        )
+        return
     if args.scaling:
         run_scaling(args.sf_dir)
         return

@@ -100,11 +100,40 @@ def _soundfile_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndar
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def _wave_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real audio path with ZERO dependencies: stdlib ``wave`` parses
+    RIFF/WAV PCM, then per-segment RMS energy over ``dim`` equal time slices,
+    L2-normalized — the same feature contract as the soundfile path. Non-WAV
+    payloads raise and fall back upstream in ``decode_features``."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sw = w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        data = data.reshape(-1, nch).mean(axis=1)
+    segs = np.array_split(data, dim)
+    v = np.array([np.sqrt(np.mean(s**2)) if len(s) else 0.0 for s in segs])
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
 def _autodetect_decoders() -> None:
-    """Wire real decoders for whichever codec libs this environment has;
-    kinds without a real decoder keep the deterministic fake (this sandbox
-    ships neither PIL nor soundfile, so both fall back — the gate itself is
-    tested through ``register_decoder``)."""
+    """Wire real decoders for whichever codec libs this environment has.
+    Audio always gets a real decoder: soundfile when importable, else the
+    stdlib ``wave`` WAV parser (dependency-free, so a genuine decode runs
+    even in codec-less environments; non-WAV audio falls back to the
+    deterministic fake per payload). Images keep the fake unless PIL is
+    importable — the gate itself is also tested through ``register_decoder``."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -116,7 +145,7 @@ def _autodetect_decoders() -> None:
 
         _DECODERS.setdefault("audio", _soundfile_audio_features)
     except ImportError:
-        pass
+        _DECODERS.setdefault("audio", _wave_audio_features)
 
 
 _autodetect_decoders()

@@ -76,3 +76,51 @@ def assess_match_performance(
     fn = truth.join(pred, keys, "left_anti").count()
     tn = n_x * n_y - tp - fp - fn
     return MatchAssessment(tp=tp, fp=fp, fn=fn, tn=tn)
+
+
+def assess_blocking(
+    cand_pairs: DataFrame,
+    truth_pairs: DataFrame,
+    *,
+    n_x: int,
+    n_y: int,
+    name_x: str = "name_x",
+    name_y: str = "name_y",
+) -> DataFrame:
+    """Blocking-stage quality as one summary row (standard ER blocking
+    metrics): ``pairs_completeness`` = fraction of true pairs surviving
+    candidate generation (recall ceiling for every downstream scorer) and
+    ``reduction_ratio`` = 1 − candidates / (n_x·n_y) (how much of the
+    quadratic comparison space blocking eliminated).
+
+    Tuning blocking keys at scale IS the trade between these two numbers —
+    a df-cap or a tighter shared-gram threshold moves both, so the engine
+    exposes them as a first-class measurement rather than leaving candidate
+    quality to be discovered from end-to-end F1 regressions. Returns a
+    1-row DataFrame (no driver-side collect; the three aggregates are
+    scalar frames joined by cross product, each a map-side count).
+    """
+    cand = _dedup_pairs(cand_pairs, name_x, name_y)
+    truth = _dedup_pairs(truth_pairs, name_x, name_y)
+    keys = ["name_x", "name_y"]
+    covered = truth.join(cand, keys, "left_semi")
+    a = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    b = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = covered.agg(F.count(F.lit(1)).alias("n_covered"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_covered",
+            F.round(
+                F.when(F.col("n_truth") > 0, F.col("n_covered") / F.col("n_truth"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0) - F.col("n_candidates") / F.lit(float(n_x) * float(n_y)), 6
+            ).alias("reduction_ratio"),
+        )
+    )

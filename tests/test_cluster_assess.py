@@ -98,3 +98,23 @@ def test_assess_duplicate_pairs_deduped(spark):
     t = _pairs_df(spark, [("a", "a1")])
     a = assess_match_performance(z, t, n_x=1, n_y=1)
     assert (a.tp, a.fp, a.fn, a.tn) == (1, 0, 0, 0)
+
+
+def test_assess_blocking_metrics(spark):
+    """Pairs completeness = covered truth fraction; reduction ratio =
+    eliminated share of the nx*ny comparison space."""
+    from linkorgs_software_spark.operators.assess import assess_blocking
+
+    cand = spark.createDataFrame(
+        [("a", "a1"), ("a", "b1"), ("b", "b1"), ("b", "b1")],  # dup collapses
+        "name_x string, name_y string",
+    )
+    truth = spark.createDataFrame(
+        [("a", "a1"), ("b", "b1"), ("c", "c1")], "name_x string, name_y string"
+    )
+    r = assess_blocking(cand, truth, n_x=10, n_y=10).collect()[0]
+    assert r.n_candidates == 3
+    assert r.n_truth == 3
+    assert r.n_covered == 2  # (c, c1) was lost by blocking
+    assert r.pairs_completeness == pytest.approx(2 / 3, abs=1e-6)
+    assert r.reduction_ratio == pytest.approx(1 - 3 / 100, abs=1e-6)

@@ -126,6 +126,49 @@ def test_media_decoder_gate_both_paths(spark):
             assert list(r.feature) == baseline[r.media_id]
 
 
+def test_real_wav_decode_runs_in_sandbox(spark):
+    """A GENUINE media decode (not the hash fallback) must execute here:
+    the stdlib-``wave`` featurizer is auto-wired for audio when soundfile is
+    absent, so a valid WAV payload yields real per-segment RMS features —
+    loud-then-silent audio concentrates energy in the early segments —
+    while non-WAV audio bytes still fall back per payload."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from linkorgs_software_spark.functions import multimodal as mm
+
+    assert "audio" in mm._DECODERS  # soundfile or stdlib wave — always wired
+
+    # 1 second of 16-bit mono: loud square wave then digital silence
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        loud = (np.tile([20000, -20000], 2000)).astype("<i2")
+        quiet = np.zeros(4000, dtype="<i2")
+        w.writeframes(np.concatenate([loud, quiet]).tobytes())
+    payload = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(0, "audio", payload, ("wav", 0, 0, 1000)),
+         (1, "audio", b"not a wav at all", ("bin", 0, 0, 0))],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: np.array(r.feature) for r in extract_features(media).collect()}
+
+    expect = mm._wave_audio_features(payload)
+    assert np.allclose(feats[0], expect, atol=1e-6)
+    # real decode, not the byte-histogram fake
+    assert not np.allclose(feats[0], mm._fake_decode_features(payload), atol=1e-6)
+    # energy concentrated in the loud first half
+    assert feats[0][: 8].sum() > 10 * feats[0][8:].sum()
+    # undecodable audio bytes fall back to the deterministic fake
+    assert np.allclose(feats[1], mm._fake_decode_features(b"not a wav at all"), atol=1e-6)
+
+
 def test_frame_sampling_counts(spark):
     media = gen_media_fixture(spark, 9)
     frames = frame_sample_plan(media, every_ms=1000)
