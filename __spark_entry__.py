@@ -545,6 +545,16 @@ def _q_props_json(spark, sf_dir):
     return ev.select("event_id", json_prop_expr("props", "k").alias("k_val"))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Repeated token-window detection (the memorization signal from LLM
+    corpus hygiene): per-doc count/fraction of length-8 token windows that
+    also occur in another document."""
+    from linkorgs_software_spark.operators.corpus import duplicated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8)
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking-stage quality metrics (pairs completeness + reduction
     ratio) of the trigram candidate generator against the derivable truth
@@ -650,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_fuzzy_full_pinned": _q_link_fuzzy_full_pinned,
         "embed_l2_linkage": _q_embed_l2_linkage,
         "blocking_quality": _q_blocking_quality,
+        "dup_spans": _q_dup_spans,
     }
 
 
@@ -1036,6 +1047,26 @@ ranked as (select *,
 select xr.name_x, yr.name_y, r.stringdist, r.min_dist as "minDist"
 from ranked r join xr using (name_norm_x) join yr using (name_norm_y)
 where rx = 1 and ry = 1
+""",
+        "dup_spans": f"""
+with t as (select doc_id, {toks} as toks from documents),
+sp as (select doc_id,
+  case when len(toks) >= 8 then
+    list_transform(range(1, len(toks) - 8 + 2),
+                   i -> md5(array_to_string(toks[i:i+7], ' ')))
+  else []::varchar[] end as spans from t),
+ex as (select doc_id, unnest(spans) as span from sp),
+sd as (select span, count(distinct doc_id) as n_docs from ex group by 1),
+pd as (select e.doc_id, count(*) as n_spans,
+       count(*) filter (sd.n_docs >= 2) as n_dup_spans
+       from ex e join sd using (span) group by 1)
+select d.doc_id,
+  coalesce(pd.n_spans, 0) as n_spans,
+  coalesce(pd.n_dup_spans, 0) as n_dup_spans,
+  round(case when coalesce(pd.n_spans, 0) > 0
+        then pd.n_dup_spans::double / pd.n_spans else 0.0 end, 6)
+    as dup_span_frac
+from documents d left join pd using (doc_id)
 """,
         "blocking_quality": f"""
 {_BLOCKED_CTE},

@@ -46,6 +46,70 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-span stats: how many of a doc's length-``k``
+    token windows also occur in at least ``min_docs - 1`` OTHER documents.
+
+    The repeated-substring signal from LLM corpus hygiene (exact repeated
+    multi-token windows drive memorization): boilerplate, templated text,
+    and partial copies light up here even when whole-document near-dup
+    misses them, because only a span — not the document — repeats. Returns
+    ``(doc_id, n_spans, n_dup_spans, dup_span_frac)``; docs shorter than
+    ``k`` tokens have zero complete windows and a 0.0 fraction.
+
+    Scale shape: the window explode is linear in total tokens; one shuffle
+    groups spans (md5 of the window text, portable to the SQL oracle), one
+    aggregates per doc. Span frequencies are counted, never joined into a
+    pair blow-up — a viral boilerplate span costs one big count, not a
+    bucket self-join.
+    """
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    spans_expr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(spans_expr).alias("span"))
+    span_docs = ex.groupBy("span").agg(F.countDistinct("_id").alias("n_docs"))
+    per_doc = (
+        ex.join(span_docs, "span")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    / F.coalesce("n_spans", F.lit(0)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 def ngram_jaccard_dups(
     df: DataFrame,
     *,

@@ -360,3 +360,24 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
     # self-match must always be found; overall recall loose but nonzero
     assert all((i, i) in a for i in range(5))
     assert len(e & a) / len(e) >= 0.4
+
+
+def test_duplicated_spans_detects_shared_windows(spark):
+    """A length-k token window shared by two docs flags those spans; a doc
+    shorter than k tokens has zero complete windows; unique docs score 0."""
+    from linkorgs_software_spark.operators.corpus import duplicated_spans
+
+    shared = "one two three four five six seven eight"  # exactly k=8 tokens
+    rows = [
+        (1, shared + " alpha beta"),          # 3 windows, 1 shared
+        (2, "prefix " + shared),              # 2 windows, 1 shared
+        (3, "totally different words here spread over many tokens now"),
+        (4, "short doc"),                     # < 8 tokens -> 0 spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_spans(docs, k=8).collect()}
+    assert out[1].n_spans == 3 and out[1].n_dup_spans == 1
+    assert out[2].n_spans == 2 and out[2].n_dup_spans == 1
+    assert out[1].dup_span_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert out[3].n_dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
