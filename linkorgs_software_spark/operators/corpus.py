@@ -81,28 +81,34 @@ def duplicated_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col).alias("_id"), F.explode(spans_expr).alias("span"))
-    span_docs = ex.groupBy("span").agg(F.countDistinct("_id").alias("n_docs"))
-    per_doc = (
-        ex.join(span_docs, "span")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_spans"),
-        )
+    # explode_outer keeps zero-span docs as one null-span row, so the final
+    # per-doc aggregate covers every doc without a third scan of ``df``;
+    # persisting the exploded frame means the window explode — the linear-
+    # in-total-tokens cost — runs once, feeding both the span-frequency
+    # shuffle and the per-doc aggregate.
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(spans_expr).alias("span")
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    span_docs = (
+        ex.filter(F.col("span").isNotNull())
+        .groupBy("span")
+        .agg(F.countDistinct("_id").alias("n_docs"))
     )
     return (
-        df.select(F.col(id_col))
-        .join(per_doc.withColumnRenamed("_id", id_col), id_col, "left")
+        ex.join(span_docs, "span", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.when(F.col("span").isNotNull(), 1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") >= min_docs, 1)).alias("n_dup_spans"),
+        )
         .select(
-            id_col,
-            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.col("_id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
             F.round(
                 F.when(
-                    F.coalesce("n_spans", F.lit(0)) > 0,
-                    F.coalesce("n_dup_spans", F.lit(0))
-                    / F.coalesce("n_spans", F.lit(0)).cast("double"),
+                    F.col("n_spans") > 0,
+                    F.col("n_dup_spans") / F.col("n_spans").cast("double"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_span_frac"),
