@@ -183,6 +183,36 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, bucket) band-bucket rows — ``bands`` rows per doc.
+
+    The shared candidate-key derivation for batch AND streaming MinHash-LSH:
+    signature → ``bands`` md5 band keys (classic banding). Two docs are
+    near-dup candidates iff they share a bucket, wherever each was computed
+    — which is what lets the streaming operator compare a micro-batch
+    against a bucket history written by earlier batches.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)])
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+
+
 def minhash_lsh_dups(
     df: DataFrame,
     *,
@@ -206,17 +236,14 @@ def minhash_lsh_dups(
     skew-killer). A bucket that large is exact-dup-grade duplication — run
     ``exact_dup_groups`` first; LSH is for the non-identical tail.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    banded = minhash_band_buckets(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", F.lit(str(bi)), *[F.col(f"h{bi * rows + r}") for r in range(rows)])
-        ).alias(f"band{bi}")
-        for bi in range(bands)
-    ]
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
     # the banded frame feeds the cap count AND both self-join sides: persist
     # (disk-spillable) so the signature aggregation runs once, not 3x
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK_DESER)

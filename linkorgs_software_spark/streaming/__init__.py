@@ -12,5 +12,6 @@ mentions links against a static reference side and appends to the sink;
 
 from .dedup import dedup_batch, incremental_exact_dedup  # noqa: F401
 from .incremental import incremental_link  # noqa: F401
+from .neardup import incremental_neardup_dedup, neardup_batch  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401
 from .windows import windowed_event_stats  # noqa: F401

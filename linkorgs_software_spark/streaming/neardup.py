@@ -1,0 +1,186 @@
+"""Incremental NEAR-dup dedup for a streaming document feed.
+
+``incremental_exact_dedup`` drops byte-identical re-ingestions; this is its
+fuzzy sibling: a new document is dropped when it is a MinHash-LSH near-dup
+(verified shingle jaccard >= threshold) of ANY document already ingested —
+lightly-edited recrawls, boilerplate variants, re-posts.
+
+State on disk, both append-only and narrow:
+  * ``history/buckets``  — (bucket, doc_id): the band-bucket posting lists
+    of every KEPT doc (``bands`` rows per doc). Candidate generation is a
+    bucket equi-join of the micro-batch against this table — never a scan
+    of past text.
+  * ``history/shingles`` — (doc_id, shingles): the shingle sets needed to
+    VERIFY candidates exactly. Only candidates' rows are read (the bucket
+    join's doc_ids semi-join this table), so verification cost scales with
+    candidate volume, not history size.
+
+Per micro-batch N:
+  1. intra-batch: MinHash-LSH pairs within the batch; any doc that is a
+     verified near-dup of a smaller-id batch doc is dropped (pairwise
+     canonical-min rule — chains within ONE micro-batch collapse to the
+     smallest id; cross-batch chains are handled naturally because only
+     kept docs enter history).
+  2. cross-batch: survivors' band buckets join the PRIOR history buckets
+     (``batch_id != N`` — same replay-safety rule as ``dedup.py``: a replay
+     must not anti-join its own previous attempt), verified by exact
+     jaccard against the stored shingle sets.
+  3. idempotent overwrite of ``docs/batch_id=N`` and both history slices.
+
+Hot buckets are df-capped exactly like the batch operator — a viral
+boilerplate document otherwise turns one bucket's posting list into a
+quadratic candidate task.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.qgrams import jaccard_qgram_dist_expr
+from ..functions.text import word_shingles_expr
+from ..operators.blocking import apply_df_cap
+from ..operators.corpus import minhash_band_buckets, minhash_lsh_dups
+from .dedup import _prior_history_paths
+
+
+def neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_df: int | None = 5000,
+) -> None:
+    """Process one micro-batch (public, so replay behaviour is testable)."""
+    buckets_dir = os.path.join(out_dir, "history", "buckets")
+    shingles_dir = os.path.join(out_dir, "history", "shingles")
+    docs_dir = os.path.join(out_dir, "docs")
+    spark = batch_df.sparkSession
+
+    # 1. intra-batch near-dups: drop the larger id of every verified pair
+    pairs = minhash_lsh_dups(
+        batch_df,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_bucket_df=max_bucket_df,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch_df.join(dropped, id_col, "left_anti").persist()
+    try:
+        # 2. cross-batch: candidates from the PRIOR bucket history, verified
+        # by exact jaccard against the stored shingle sets
+        fresh = survivors
+        prior_buckets = _prior_history_paths(spark, buckets_dir, batch_id)
+        if prior_buckets:
+            new_b = minhash_band_buckets(
+                survivors,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+            )
+            old_b = spark.read.parquet(*prior_buckets).select(
+                "bucket", F.col("doc_id").alias("_old_id")
+            )
+            if max_bucket_df is not None:
+                old_b = apply_df_cap(old_b, "bucket", max_bucket_df)
+            cand = (
+                new_b.join(old_b, "bucket")
+                .select(F.col("id").alias("_new_id"), "_old_id")
+                .distinct()
+            )
+            new_sh = survivors.select(
+                F.col(id_col).alias("_new_id"),
+                word_shingles_expr(text_col, shingle_k).alias("sh_a"),
+            )
+            prior_shingles = _prior_history_paths(spark, shingles_dir, batch_id)
+            old_sh = spark.read.parquet(*prior_shingles).select(
+                F.col("doc_id").alias("_old_id"), F.col("shingles").alias("sh_b")
+            )
+            sim = F.lit(1.0) - jaccard_qgram_dist_expr("sh_a", "sh_b")
+            dup_new = (
+                cand.join(new_sh, "_new_id")
+                .join(old_sh, "_old_id")
+                .withColumn("_sim", sim)
+                .filter(F.col("_sim") >= F.lit(float(threshold)))
+                .select(F.col("_new_id").alias(id_col))
+                .distinct()
+            )
+            fresh = survivors.join(dup_new, id_col, "left_anti")
+        fresh = fresh.persist()
+        try:
+            # 3. idempotent per-batch overwrites: docs + both history slices
+            fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
+            minhash_band_buckets(
+                fresh,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+            ).select(F.col("id").alias("doc_id"), "bucket").write.mode(
+                "overwrite"
+            ).parquet(f"{buckets_dir}/batch_id={batch_id}")
+            fresh.select(
+                F.col(id_col).alias("doc_id"),
+                word_shingles_expr(text_col, shingle_k).alias("shingles"),
+            ).write.mode("overwrite").parquet(f"{shingles_dir}/batch_id={batch_id}")
+        finally:
+            fresh.unpersist()
+    finally:
+        survivors.unpersist()
+
+
+def incremental_neardup_dedup(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_df: int | None = 5000,
+    available_now: bool = False,
+):
+    """Start a streaming query that keeps only documents which are not
+    near-dups of anything previously ingested. Kept docs land in
+    ``out_dir/docs/batch_id=N``; LSH state under ``out_dir/history``."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_batch(
+            batch_df,
+            batch_id,
+            out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            max_bucket_df=max_bucket_df,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

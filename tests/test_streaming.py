@@ -176,6 +176,89 @@ def test_incremental_dedup_corrupt_history_fails_batch(spark, tmp_path):
         dedup_batch(spark.createDataFrame([(2, "alpha")], schema), 1, out)
 
 
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun shines over "
+    "the quiet green valley near the old stone bridge"
+)
+_EDITED = _BASE.replace("lazy dog", "sleepy dog")  # near-dup: one token edit
+_OTHER = (
+    "completely different subject matter entirely about spacecraft engines "
+    "and orbital mechanics with no shared phrasing whatsoever in any window"
+)
+
+
+def test_incremental_neardup_drops_cross_batch_edits(spark, tmp_path):
+    """A lightly-EDITED re-ingestion (not byte-identical — exact dedup
+    would miss it) must be dropped against the LSH history; genuinely new
+    docs pass; intra-batch near-dups collapse to the min id."""
+    from linkorgs_software_spark.streaming import neardup_batch
+
+    out = str(tmp_path / "nd_out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, _BASE), (2, _OTHER)], schema)
+    genuinely_new = (
+        "a recipe for sourdough bread requires patient fermentation of the "
+        "starter culture and careful folding of the wet dough overnight"
+    )
+    b1 = spark.createDataFrame([(4, _EDITED), (5, genuinely_new)], schema)
+
+    neardup_batch(b0, 0, out, threshold=0.5)
+    neardup_batch(b1, 1, out, threshold=0.5)
+    kept0 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect())
+    assert kept0 == [1, 2]
+    assert kept1 == [5]  # 4 is a near-dup of doc 1 from batch 0
+
+
+def test_incremental_neardup_intra_batch_and_replay(spark, tmp_path):
+    """Within one micro-batch the smaller id of a verified near-dup pair is
+    kept; replaying a batch reproduces its first output (history reads
+    exclude the current batch_id)."""
+    from linkorgs_software_spark.streaming import neardup_batch
+
+    out = str(tmp_path / "nd_rp")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(7, _BASE), (8, _EDITED), (9, _OTHER)], schema)
+    neardup_batch(b0, 0, out, threshold=0.5)
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    assert kept == [7, 9]  # 8 collapsed into 7 intra-batch
+
+    neardup_batch(b0, 0, out, threshold=0.5)  # replay
+    kept_replay = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect()
+    )
+    assert kept_replay == [7, 9]  # not emptied by its own prior history
+
+
+def test_incremental_neardup_stream_end_to_end(spark, tmp_path):
+    """The writeStream wiring: two availableNow drains over a file source."""
+    from linkorgs_software_spark.streaming import incremental_neardup_dedup
+
+    src = str(tmp_path / "nds_src")
+    out = str(tmp_path / "nds_out")
+    ckpt = str(tmp_path / "nds_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = incremental_neardup_dedup(stream, out, ckpt, threshold=0.5,
+                                      available_now=True)
+        q.awaitTermination(180)
+
+    _write("a", [(1, _BASE)])
+    _run()
+    _write("b", [(2, _EDITED), (3, _OTHER)])
+    _run()
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs").collect())
+    assert kept == [1, 3]  # the edited re-post was deduped against history
+
+
 def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg: a window emits once its end passes the
     watermark, and an event arriving later than the watermark is dropped —
