@@ -11,6 +11,7 @@ mentions links against a static reference side and appends to the sink;
 """
 
 from .dedup import dedup_batch, incremental_exact_dedup  # noqa: F401
+from .embed_neardup import embed_neardup_batch, incremental_embed_neardup  # noqa: F401
 from .incremental import incremental_link  # noqa: F401
 from .neardup import incremental_neardup_dedup, neardup_batch  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401

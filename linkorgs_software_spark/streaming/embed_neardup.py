@@ -1,0 +1,175 @@
+"""Incremental EMBEDDING near-dup dedup for a streaming vector feed.
+
+Completes the streaming dedup trio: exact (content hash), text near-dup
+(MinHash-LSH), and — here — vector-space near-dup: a new embedding is
+dropped when its cosine similarity to ANY previously kept embedding is
+>= ``threshold``. This is how a training pipeline suppresses semantic
+re-posts (same content, different words) as the corpus streams in.
+
+State on disk, same shape as the text variant:
+  * ``history/buckets``    — (table_id, bucket, vec_id): hyperplane-LSH
+    bucket posting lists of every kept vector (``num_tables`` rows per
+    vector). Candidates = bucket equi-join, never a scan of past vectors.
+  * ``history/embeddings`` — (vec_id, embedding): read only for candidate
+    verification (exact cosine), so verify cost tracks candidate volume.
+
+Replay-safe like its siblings: history reads enumerate PRIOR ``batch_id``
+partitions only, so a re-executed batch cannot anti-join its own previous
+attempt and delete its output. Hyperplanes are seeded and ``dim`` is an
+explicit parameter (the stream owner knows the embedding width) — every
+batch hashes into the SAME bucket space, which is what makes cross-batch
+candidates meaningful.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import cosine_sim_expr
+from ..operators.ann import lsh_buckets
+from ..operators.blocking import apply_df_cap
+from .dedup import _prior_history_paths
+
+
+def embed_neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_bucket_df: int | None = 5000,
+) -> None:
+    """Process one micro-batch (public, so replay behaviour is testable)."""
+    buckets_dir = os.path.join(out_dir, "history", "buckets")
+    emb_dir = os.path.join(out_dir, "history", "embeddings")
+    docs_dir = os.path.join(out_dir, "docs")
+    spark = batch_df.sparkSession
+    lsh_kw = dict(
+        vec_col=vec_col, dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed
+    )
+
+    new_b = lsh_buckets(
+        batch_df.select(F.col(id_col), F.col(vec_col)), **lsh_kw
+    ).select(F.col(id_col).alias("_id"), "table_id", "bucket").persist()
+    try:
+        # intra-batch: drop the larger id of every verified near-dup pair
+        cand_in = (
+            new_b.alias("a")
+            .join(new_b.alias("b"), ["table_id", "bucket"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("_id_a"), F.col("b._id").alias("_id_b"))
+            .distinct()
+        )
+        vecs = batch_df.select(F.col(id_col).alias("_v_id"), F.col(vec_col).alias("_v"))
+        sim = cosine_sim_expr("_va", "_vb")
+        dropped_in = (
+            cand_in.join(vecs.select(F.col("_v_id").alias("_id_a"), F.col("_v").alias("_va")), "_id_a")
+            .join(vecs.select(F.col("_v_id").alias("_id_b"), F.col("_v").alias("_vb")), "_id_b")
+            .filter(sim >= F.lit(float(threshold)))
+            .select(F.col("_id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = batch_df.join(dropped_in, id_col, "left_anti")
+
+        # cross-batch: candidates from the PRIOR bucket history, verified by
+        # exact cosine against the stored embeddings
+        fresh = survivors
+        prior_buckets = _prior_history_paths(spark, buckets_dir, batch_id)
+        if prior_buckets:
+            old_b = spark.read.parquet(*prior_buckets).select(
+                "table_id", "bucket", F.col("vec_id").alias("_old_id")
+            )
+            if max_bucket_df is not None:
+                old_b = old_b.withColumn(
+                    "_k", F.concat_ws(":", "table_id", "bucket")
+                )
+                old_b = apply_df_cap(old_b, "_k", max_bucket_df).drop("_k")
+            surv_b = new_b.join(
+                survivors.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+            )
+            cand = (
+                surv_b.join(old_b, ["table_id", "bucket"])
+                .select(F.col("_id").alias("_new_id"), "_old_id")
+                .distinct()
+            )
+            prior_emb = _prior_history_paths(spark, emb_dir, batch_id)
+            old_v = spark.read.parquet(*prior_emb).select(
+                F.col("vec_id").alias("_old_id"), F.col("embedding").alias("_vb")
+            )
+            new_v = survivors.select(
+                F.col(id_col).alias("_new_id"), F.col(vec_col).alias("_va")
+            )
+            dup_new = (
+                cand.join(new_v, "_new_id")
+                .join(old_v, "_old_id")
+                .filter(cosine_sim_expr("_va", "_vb") >= F.lit(float(threshold)))
+                .select(F.col("_new_id").alias(id_col))
+                .distinct()
+            )
+            fresh = survivors.join(dup_new, id_col, "left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
+            lsh_buckets(fresh.select(F.col(id_col), F.col(vec_col)), **lsh_kw).select(
+                "table_id", "bucket", F.col(id_col).alias("vec_id")
+            ).write.mode("overwrite").parquet(f"{buckets_dir}/batch_id={batch_id}")
+            fresh.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ).write.mode("overwrite").parquet(f"{emb_dir}/batch_id={batch_id}")
+        finally:
+            fresh.unpersist()
+    finally:
+        new_b.unpersist()
+
+
+def incremental_embed_neardup(
+    vec_stream: DataFrame,
+    out_dir: str,
+    checkpoint_path: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_bucket_df: int | None = 5000,
+    available_now: bool = False,
+):
+    """Start a streaming query keeping only vectors that are not cosine
+    near-dups of anything previously kept. Kept rows land in
+    ``out_dir/docs/batch_id=N``; LSH state under ``out_dir/history``."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        embed_neardup_batch(
+            batch_df,
+            batch_id,
+            out_dir,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            num_tables=num_tables,
+            seed=seed,
+            max_bucket_df=max_bucket_df,
+        )
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -259,6 +259,59 @@ def test_incremental_neardup_stream_end_to_end(spark, tmp_path):
     assert kept == [1, 3]  # the edited re-post was deduped against history
 
 
+def test_incremental_embed_neardup_cross_batch_and_replay(spark, tmp_path):
+    """Vector-space streaming dedup: a perturbed re-post of a batch-0
+    embedding (cosine ~1) is dropped in batch 1 while an orthogonal-ish new
+    vector passes; replaying a batch reproduces its first output."""
+    import numpy as np
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=16)
+    other = rng.normal(size=16)
+    pert = base + rng.normal(scale=1e-3, size=16)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    out = str(tmp_path / "ev_out")
+    embed_neardup_batch(_df([(1, base), (2, other)]), 0, out, dim=16, threshold=0.99)
+    b1 = _df([(3, pert), (4, rng.normal(size=16))])
+    embed_neardup_batch(b1, 1, out, dim=16, threshold=0.99)
+    kept0 = sorted(r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    kept1 = sorted(r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect())
+    assert kept0 == [1, 2]
+    assert kept1 == [4]  # 3 is a cosine near-dup of vector 1
+
+    embed_neardup_batch(b1, 1, out, dim=16, threshold=0.99)  # replay
+    kept_replay = sorted(
+        r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect()
+    )
+    assert kept_replay == [4]
+
+
+def test_incremental_embed_neardup_intra_batch(spark, tmp_path):
+    import numpy as np
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+
+    rng = np.random.RandomState(5)
+    v = rng.normal(size=16)
+    rows = [(7, v), (8, v + rng.normal(scale=1e-3, size=16)), (9, rng.normal(size=16))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in w]) for i, w in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "ei_out")
+    embed_neardup_batch(df, 0, out, dim=16, threshold=0.99)
+    kept = sorted(r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    assert kept == [7, 9]  # 8 collapsed into 7
+
+
 def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg: a window emits once its end passes the
     watermark, and an event arriving later than the watermark is dropped —
