@@ -127,19 +127,47 @@ def _wave_audio_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+def _bmp_image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image path with ZERO dependencies: parse uncompressed 24/32-bit
+    BMP (the format is a fixed little-endian header + padded BGR rows — no
+    codec needed), then an L2-normalized luminance histogram, the same
+    feature contract as the PIL path. Non-BMP payloads raise and fall back
+    upstream in ``decode_features``."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    nch = bpp // 8
+    stride = ((w * nch + 3) // 4) * 4
+    rows = abs(h)
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=off)
+    px = px.reshape(rows, stride)[:, : w * nch].reshape(rows, w, nch)
+    lum = 0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]  # BGR(A)
+    hist, _ = np.histogram(lum.ravel(), bins=dim, range=(0, 256))
+    v = hist.astype(np.float64)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
 def _autodetect_decoders() -> None:
     """Wire real decoders for whichever codec libs this environment has.
-    Audio always gets a real decoder: soundfile when importable, else the
-    stdlib ``wave`` WAV parser (dependency-free, so a genuine decode runs
-    even in codec-less environments; non-WAV audio falls back to the
-    deterministic fake per payload). Images keep the fake unless PIL is
-    importable — the gate itself is also tested through ``register_decoder``."""
+    Audio and image ALWAYS get a real decoder: soundfile/PIL when
+    importable, else the stdlib parsers (``wave`` for RIFF/WAV PCM, a
+    header+raster reader for uncompressed BMP) — so a genuine decode byte
+    runs even in codec-less environments, with non-matching payloads
+    falling back to the deterministic fake per payload. The gate itself is
+    also tested through ``register_decoder``."""
     try:
         import PIL.Image  # noqa: F401
 
         _DECODERS.setdefault("image", _pil_image_features)
     except ImportError:
-        pass
+        _DECODERS.setdefault("image", _bmp_image_features)
     try:
         import soundfile  # noqa: F401
 

@@ -114,11 +114,15 @@ def test_media_decoder_gate_both_paths(spark):
     def ones_decoder(payload: bytes) -> np.ndarray:
         return np.ones(mm.FEATURE_DIM, dtype=np.float32)
 
+    prev = mm._DECODERS.get("image")
     mm.register_decoder("image", ones_decoder)
     try:
         gated = extract_features(media).collect()
-    finally:
-        del mm._DECODERS["image"]
+    finally:  # restore the auto-wired decoder, don't just drop the override
+        if prev is None:
+            del mm._DECODERS["image"]
+        else:
+            mm._DECODERS["image"] = prev
     for r in gated:
         if r.kind == "image":
             assert list(r.feature) == [1.0] * mm.FEATURE_DIM
@@ -167,6 +171,45 @@ def test_real_wav_decode_runs_in_sandbox(spark):
     assert feats[0][: 8].sum() > 10 * feats[0][8:].sum()
     # undecodable audio bytes fall back to the deterministic fake
     assert np.allclose(feats[1], mm._fake_decode_features(b"not a wav at all"), atol=1e-6)
+
+
+def test_real_bmp_decode_runs_in_sandbox(spark):
+    """A genuine IMAGE decode must execute here too: the stdlib BMP reader
+    is auto-wired when PIL is absent, so a valid 24-bit BMP yields a real
+    luminance histogram — an all-dark image concentrates mass in the first
+    histogram bin — while non-BMP image bytes fall back per payload."""
+    import struct
+
+    import numpy as np
+
+    from linkorgs_software_spark.functions import multimodal as mm
+
+    assert "image" in mm._DECODERS  # PIL or stdlib BMP — always wired
+
+    w, h = 6, 4
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for _ in range(h):
+        row = bytes([10, 10, 10] * w)  # near-black BGR pixels
+        raster += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(raster), 0, 0, 14 + 40)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    )
+    payload = header + bytes(raster)
+
+    media = spark.createDataFrame(
+        [(0, "image", payload, ("bmp", w, h, 0)),
+         (1, "image", b"not an image", ("bin", 0, 0, 0))],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: np.array(r.feature) for r in extract_features(media).collect()}
+    expect = mm._bmp_image_features(payload)
+    assert np.allclose(feats[0], expect, atol=1e-6)
+    assert not np.allclose(feats[0], mm._fake_decode_features(payload), atol=1e-6)
+    assert feats[0][0] == 1.0 and feats[0][1:].sum() == 0.0  # all-dark image
+    assert np.allclose(feats[1], mm._fake_decode_features(b"not an image"), atol=1e-6)
 
 
 def test_frame_sampling_counts(spark):
