@@ -247,6 +247,17 @@ def bench_f1_gate(spark, sf_dir: str):
     return round(a.f1 * 10000)
 
 
+def bench_dup_spans(spark, sf_dir: str):
+    """Repeated token-window detection over the full documents table —
+    linear explode + two aggregates (round-3 corpus operator)."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs, k=8).agg(F.sum("n_dup_spans")).collect()[0][0]
+
+
 def bench_lineitem_agg(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -270,6 +281,7 @@ QUERIES = {
     "embedding_lsh_dedup": bench_embedding_lsh,
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
+    "dup_spans": bench_dup_spans,
     "lineitem_agg": bench_lineitem_agg,
     "f1_gate": bench_f1_gate,
 }

@@ -81,6 +81,13 @@ def duplicated_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # A small-file input (one split) would run the whole window explode on
+    # one core — the measured one-file-split trap. Repartition only when the
+    # source has materially fewer splits than the session's parallelism; at
+    # scale (many input splits) this is a no-op, so no gratuitous shuffle.
+    sc_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if df.rdd.getNumPartitions() < max(2, sc_parts // 2):
+        df = df.repartition(sc_parts)
     # explode_outer keeps zero-span docs as one null-span row, so the final
     # per-doc aggregate covers every doc without a third scan of ``df``;
     # persisting the exploded frame means the window explode — the linear-

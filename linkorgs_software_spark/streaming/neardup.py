@@ -30,6 +30,15 @@ Per micro-batch N:
 Hot buckets are df-capped exactly like the batch operator — a viral
 boilerplate document otherwise turns one bucket's posting list into a
 quadratic candidate task.
+
+At 100 TB the per-batch cost is dominated by the bucket equi-join against
+an ever-growing history: parquet partitioned by batch_id means each batch
+shuffles the full posting-list table. The scale deployment writes the
+bucket history as a BUCKETED table on ``bucket`` (the checkpointer's
+``run_bucketed`` pattern / Iceberg bucket partitioning), making the
+history side of the join shuffle-free and letting only matching buckets
+be read; the batch_id layout here keeps replay semantics testable without
+a metastore.
 """
 
 from __future__ import annotations
