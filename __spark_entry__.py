@@ -555,6 +555,15 @@ def _q_dup_spans(spark, sf_dir):
     return duplicated_spans(docs, k=8)
 
 
+def _q_top_spans(spark, sf_dir):
+    """The boilerplate triage report: the 20 most widely repeated length-8
+    token windows across the corpus (deterministic tie ordering)."""
+    from linkorgs_software_spark.operators.corpus import top_boilerplate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_boilerplate_spans(docs, k=8, top_n=20)
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking-stage quality metrics (pairs completeness + reduction
     ratio) of the trigram candidate generator against the derivable truth
@@ -661,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_l2_linkage": _q_embed_l2_linkage,
         "blocking_quality": _q_blocking_quality,
         "dup_spans": _q_dup_spans,
+        "top_spans": _q_top_spans,
     }
 
 
@@ -1067,6 +1077,19 @@ select d.doc_id,
         then pd.n_dup_spans::double / pd.n_spans else 0.0 end, 6)
     as dup_span_frac
 from documents d left join pd using (doc_id)
+""",
+        "top_spans": f"""
+with t as (select doc_id, {toks} as toks from documents),
+sp as (select doc_id, unnest(
+  case when len(toks) >= 8 then
+    list_transform(range(1, len(toks) - 8 + 2),
+                   i -> array_to_string(toks[i:i+7], ' '))
+  else []::varchar[] end) as span from t),
+agg as (select span, count(distinct doc_id) as n_docs, count(*) as n_occurrences
+        from sp group by 1 having count(distinct doc_id) >= 2),
+r as (select *, row_number() over
+        (order by n_docs desc, n_occurrences desc, span asc) as rn from agg)
+select span, n_docs, n_occurrences from r where rn <= 20
 """,
         "blocking_quality": f"""
 {_BLOCKED_CTE},

@@ -123,6 +123,54 @@ def duplicated_spans(
     )
 
 
+def top_boilerplate_spans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The triage view over ``duplicated_spans``: WHICH length-``k`` windows
+    repeat the most — ``(span, n_docs, n_occurrences)``, the ``top_n`` by
+    document reach. This is the list a pipeline owner reads to decide what
+    boilerplate to strip before training.
+
+    Deterministic top-n: ordered by (n_docs desc, n_occurrences desc, span
+    asc) through a row_number window, so ties cannot make the result set
+    flap run-to-run (or disagree with the SQL oracle).
+    """
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    spans_expr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    agg = (
+        df.select(F.col(id_col).alias("_id"), F.explode(spans_expr).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    w = Window.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("span").asc()
+    )
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )
+
+
 def ngram_jaccard_dups(
     df: DataFrame,
     *,

@@ -381,3 +381,24 @@ def test_duplicated_spans_detects_shared_windows(spark):
     assert out[1].dup_span_frac == pytest.approx(1 / 3, abs=1e-6)
     assert out[3].n_dup_spans == 0
     assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
+
+
+def test_top_boilerplate_spans_ranks_by_reach(spark):
+    """The most widely shared window ranks first; windows in only one doc
+    are excluded; tie ordering is deterministic (span asc)."""
+    from linkorgs_software_spark.operators.corpus import top_boilerplate_spans
+
+    w1 = "alpha beta gamma delta epsilon zeta eta theta"   # in docs 1,2,3
+    w2 = "one two three four five six seven eight"          # in docs 1,2
+    rows = [
+        (1, w1 + " filler " + w2),
+        (2, w2 + " other " + w1),
+        (3, w1),
+        (4, "unique text that appears nowhere else across many tokens today friend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_boilerplate_spans(docs, k=8, top_n=5).collect()
+    assert out[0].span == w1 and out[0].n_docs == 3
+    spans = [r.span for r in out]
+    assert w2 in spans
+    assert all(r.n_docs >= 2 for r in out)
