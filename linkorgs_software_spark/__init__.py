@@ -8,6 +8,7 @@ corpus operators a 100 TB training-data pipeline needs (dedup families,
 ANN, text analysis, multimodal plumbing).
 """
 
+from .cache import release_caches
 from .config import DEFAULT, LinkConfig, fixed_threshold_config
 from .operators.assess import MatchAssessment, assess_match_performance
 from .operators.calibrate import calibrated_threshold
@@ -25,4 +26,5 @@ __all__ = [
     "clusters_to_pairs",
     "assess_match_performance",
     "MatchAssessment",
+    "release_caches",
 ]

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..cache import register_cache
 from ..functions.embedding import cosine_sim_expr
 from ..functions.qgrams import jaccard_qgram_dist_expr
 from ..functions.text import word_shingles_expr
@@ -93,9 +94,11 @@ def duplicated_spans(
     # persisting the exploded frame means the window explode — the linear-
     # in-total-tokens cost — runs once, feeding both the span-frequency
     # shuffle and the per-doc aggregate.
-    ex = df.select(
-        F.col(id_col).alias("_id"), F.explode_outer(spans_expr).alias("span")
-    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    ex = register_cache(
+        df.select(
+            F.col(id_col).alias("_id"), F.explode_outer(spans_expr).alias("span")
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     span_docs = (
         ex.filter(F.col("span").isNotNull())
         .groupBy("span")
@@ -190,8 +193,10 @@ def ngram_jaccard_dups(
         F.col(id_col).alias("id"),
         word_shingles_expr(text_col, shingle_k).alias("shingles"),
     )
-    idx = sh.select("id", F.explode("shingles").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
+    idx = register_cache(
+        sh.select("id", F.explode("shingles").alias("s")).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
     )
     dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
     idx = idx.join(F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")), "s", "left_semi")
@@ -301,7 +306,7 @@ def minhash_lsh_dups(
     )
     # the banded frame feeds the cap count AND both self-join sides: persist
     # (disk-spillable) so the signature aggregation runs once, not 3x
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    banded = register_cache(banded.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     if max_bucket_df is not None:
         banded = apply_df_cap(banded, "bucket", max_bucket_df)
     cand = (
@@ -417,7 +422,7 @@ def simhash_dups(
     blocked = sig.select("id", "sig", F.explode(F.array(*block_cols)).alias("blk"))
     # simhash_expr (md5 per token) is the expensive projection; persist so the
     # cap count and both self-join sides read it once
-    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    blocked = register_cache(blocked.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     if max_bucket_df is not None:
         blocked = apply_df_cap(blocked, "blk", max_bucket_df)
     cand = (
@@ -600,7 +605,7 @@ def embedding_neardup_lsh(
     ).withColumn("tb", F.concat_ws(":", "table_id", "bucket")).select("id", "v", "tb")
     # the bucket id costs n_planes x num_tables literal dot products per row
     # and feeds the cap count plus both self-join sides — compute it once
-    b = b.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     if max_bucket_df is not None:
         b = apply_df_cap(b, "tb", max_bucket_df)
     cand = (

@@ -402,3 +402,24 @@ def test_top_boilerplate_spans_ranks_by_reach(spark):
     spans = [r.span for r in out]
     assert w2 in spans
     assert all(r.n_docs >= 2 for r in out)
+
+
+def test_release_caches_frees_operator_persists(spark, docs):
+    """Operator-internal persisted frames (banded MinHash, span index, …)
+    are tracked; release_caches() unpersists them all so a long-lived
+    session can reclaim executor storage in one call."""
+    from linkorgs_software_spark import release_caches
+    from linkorgs_software_spark.operators.corpus import (
+        duplicated_spans,
+        minhash_lsh_dups,
+    )
+
+    release_caches()  # start clean
+    docs.count()  # materialize the module fixture's own cache first
+    base = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())  # docs fixture
+    minhash_lsh_dups(docs, threshold=0.9).count()
+    duplicated_spans(docs, k=8).count()
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) >= base + 2
+    released = release_caches()
+    assert released >= 2
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
