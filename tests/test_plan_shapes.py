@@ -121,3 +121,28 @@ def test_small_dim_join_broadcasts(spark):
     small = spark.read.parquet(f"{SF}/region.parquet")
     joined = big.join(small, big.o_orderkey % 5 == small.r_regionkey)
     assert "Broadcast" in _plan(joined)
+
+
+def test_span_and_blocking_quality_plans_have_no_python(spark):
+    """The round-3 operators (span detection/triage, blocking metrics) are
+    pure Catalyst: no Python evaluation node may appear in their plans —
+    whole-stage codegen handles the window transforms and md5 hashing."""
+    from linkorgs_software_spark.operators.assess import assess_blocking
+    from linkorgs_software_spark.operators.corpus import (
+        duplicated_spans,
+        top_boilerplate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([("a", "b")], "name_x string, name_y string")
+    for df in (
+        duplicated_spans(docs, k=8),
+        top_boilerplate_spans(docs, k=8),
+        assess_blocking(pairs, pairs, n_x=10, n_y=10),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
