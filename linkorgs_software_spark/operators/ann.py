@@ -124,15 +124,25 @@ def _train_centroids(
     init (``rng.choice`` over row indices) sees the same matrix no matter
     how the collect interleaved partitions — centroids are a pure function
     of (corpus content, seed).
+
+    The collect is hard-bounded two ways: DISTINCT vectors first (identical
+    vectors hash identically, so a duplicate-heavy corpus would otherwise
+    land millions of copies in the sampled hash bucket together — and value
+    multiplicity should not bias a coarse quantizer anyway), plus a
+    ``limit(4 * sample_cap)`` backstop so driver memory stays O(sample_cap)
+    even for adversarial value distributions. On distinct values the
+    hash-mod filter concentrates tightly around ``sample_cap`` (binomial),
+    so the backstop effectively never truncates and partition-invariance is
+    preserved in practice.
     """
-    samp = corpus.select(F.col(vec_col).alias("v"))
+    samp = corpus.select(F.col(vec_col).alias("v")).dropDuplicates()
     n = samp.count()
     if n > sample_cap:
         buckets = max(2, round(n / sample_cap))
         samp = samp.filter(
             F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(buckets)) == 0
         )
-    rows = samp.collect()
+    rows = samp.limit(4 * sample_cap).collect()
     X = np.array([r.v for r in rows], dtype=np.float64)
     if len(X):
         X = X[np.lexsort(X.T[::-1])]  # canonical row order: partition-invariant

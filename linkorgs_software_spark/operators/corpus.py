@@ -84,10 +84,18 @@ def duplicated_spans(
     ).otherwise(F.array().cast("array<string>"))
     # A small-file input (one split) would run the whole window explode on
     # one core — the measured one-file-split trap. Repartition only when the
-    # source has materially fewer splits than the session's parallelism; at
-    # scale (many input splits) this is a no-op, so no gratuitous shuffle.
-    sc_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    if df.rdd.getNumPartitions() < max(2, sc_parts // 2):
+    # file source has materially fewer splits than the session's parallelism;
+    # at scale (many input splits) this is a no-op, so no gratuitous shuffle.
+    # The probe is the reader's file listing (``inputFiles``), never ``.rdd``
+    # (an RDD conversion forces physical planning on every call); in-memory
+    # frames list no files and keep their existing parallelism.
+    spark = df.sparkSession
+    try:
+        sc_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:  # AQE-managed platforms report 'auto'
+        sc_parts = spark.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, sc_parts // 2):
         df = df.repartition(sc_parts)
     # explode_outer keeps zero-span docs as one null-span row, so the final
     # per-doc aggregate covers every doc without a third scan of ``df``;
@@ -141,8 +149,13 @@ def top_boilerplate_spans(
     boilerplate to strip before training.
 
     Deterministic top-n: ordered by (n_docs desc, n_occurrences desc, span
-    asc) through a row_number window, so ties cannot make the result set
-    flap run-to-run (or disagree with the SQL oracle).
+    asc), so ties cannot make the result set flap run-to-run (or disagree
+    with the SQL oracle). Expressed as ``orderBy(...).limit(top_n)``, which
+    Spark compiles to TakeOrderedAndProject — each partition keeps its own
+    top ``top_n`` and a single merge of those tiny heaps produces the
+    result. A global ``row_number`` window would instead funnel the ENTIRE
+    qualifying span vocabulary (hundreds of millions of distinct repeated
+    spans at web-corpus scale) through one task.
     """
     from ..functions.text import tokens_expr
 
@@ -164,14 +177,9 @@ def top_boilerplate_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
-    w = Window.orderBy(
+    return agg.orderBy(
         F.col("n_docs").desc(), F.col("n_occurrences").desc(), F.col("span").asc()
-    )
-    return (
-        agg.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= top_n)
-        .drop("_rn")
-    )
+    ).limit(top_n)
 
 
 def ngram_jaccard_dups(

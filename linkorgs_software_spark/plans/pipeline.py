@@ -47,17 +47,30 @@ ALGORITHMS = ("fuzzy", "lookup", "alias", "embed")
 # executor storage until LRU eviction. A caller that still holds a previous
 # result (e.g. decomposition frames) keeps correct results — Spark just
 # recomputes the released stages on the next action.
+#
+# Registry mutations are lock-guarded (no list corruption under threads),
+# but the GENERATION semantics assume sequential link_orgs calls per
+# session: two concurrent calls retire each other's live persisted stages
+# mid-run. Results stay correct (Spark recomputes the lineage) — only the
+# persist speedup is lost. Concurrent linkage workloads should run in
+# separate Spark sessions.
+import threading
+
+_SESSION_LOCK = threading.Lock()
 _SESSION_CACHES: list = []
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
-    _SESSION_CACHES.append(df)
+    with _SESSION_LOCK:
+        _SESSION_CACHES.append(df)
     return df
 
 
 def _retire_previous_caches() -> None:
-    while _SESSION_CACHES:
-        df = _SESSION_CACHES.pop()
+    with _SESSION_LOCK:
+        frames = _SESSION_CACHES[:]
+        _SESSION_CACHES.clear()
+    for df in frames:
         try:
             df.unpersist(False)
         except Exception:

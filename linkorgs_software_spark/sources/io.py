@@ -63,16 +63,28 @@ class StageCheckpointer:
         """``min_files`` guards the re-read side: a stage written as one
         file reads back as ONE input split, silently serializing every
         downstream job (observed: a 10M-row stage ran a '32-core' scoring
-        job on a single core). Stages write at least this many files."""
+        job on a single core). Stages end up with at least this many files:
+        the first write runs at the plan's natural parallelism, and only a
+        stage that landed as too few files is re-split — from the already
+        MATERIALIZED parquet (a cheap read+write of a small stage), never by
+        recomputing the build. The probe is the reader's file listing, not
+        ``.rdd`` (an RDD conversion forces driver-side physical planning)."""
         path = self._path(name)
         if self.is_complete(name):
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = build()
-        if min_files and df.rdd.getNumPartitions() < min_files:
-            df = df.repartition(min_files)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        if min_files and len(out.inputFiles()) < min_files:
+            tmp = path + "__resplit"
+            out.repartition(min_files).write.mode("overwrite").parquet(tmp)
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+            out = self.spark.read.parquet(path)
         # Per-partition lineage (north rule): one row count per output file,
         # derived in a single pass from input_file_name() — the parquet
         # stand-in for Iceberg's per-data-file manifest statistics. The same
@@ -88,7 +100,7 @@ class StageCheckpointer:
         rec = {
             "stage": name,
             "rows": rows,
-            "partitions": out.rdd.getNumPartitions(),
+            "partitions": len(out.inputFiles()),
             "secs": round(time.time() - t0, 3),
             "files": {os.path.basename(r.file): r.rows for r in per_file},
         }

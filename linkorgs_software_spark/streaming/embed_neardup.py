@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_caches
 from ..functions.embedding import cosine_sim_expr
 from ..operators.ann import lsh_buckets
 from ..operators.blocking import apply_df_cap
@@ -48,7 +49,43 @@ def embed_neardup_batch(
     seed: int = 42,
     max_bucket_df: int | None = 5000,
 ) -> None:
-    """Process one micro-batch (public, so replay behaviour is testable)."""
+    """Process one micro-batch (public, so replay behaviour is testable).
+
+    Wrapped in ``scoped_caches()`` like the text sibling: any
+    operator-internal persist registered during the batch is released when
+    the batch ends, so a long-running stream cannot accumulate pinned
+    frames batch over batch.
+    """
+    with scoped_caches():
+        _embed_neardup_batch_inner(
+            batch_df,
+            batch_id,
+            out_dir,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            num_tables=num_tables,
+            seed=seed,
+            max_bucket_df=max_bucket_df,
+        )
+
+
+def _embed_neardup_batch_inner(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int,
+    num_tables: int,
+    seed: int,
+    max_bucket_df: int | None,
+) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     emb_dir = os.path.join(out_dir, "history", "embeddings")
     docs_dir = os.path.join(out_dir, "docs")

@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_caches
 from ..functions.qgrams import jaccard_qgram_dist_expr
 from ..functions.text import word_shingles_expr
 from ..operators.blocking import apply_df_cap
@@ -68,7 +69,42 @@ def neardup_batch(
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
 ) -> None:
-    """Process one micro-batch (public, so replay behaviour is testable)."""
+    """Process one micro-batch (public, so replay behaviour is testable).
+
+    Wrapped in ``scoped_caches()``: the LSH operators persist + register
+    the banded frame per call, and a stream calls them once per micro-batch
+    — without per-batch release a long-running query would pin one frame
+    per batch forever (growing executor storage AND driver registry without
+    bound).
+    """
+    with scoped_caches():
+        _neardup_batch_inner(
+            batch_df,
+            batch_id,
+            out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            max_bucket_df=max_bucket_df,
+        )
+
+
+def _neardup_batch_inner(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    threshold: float,
+    max_bucket_df: int | None,
+) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     shingles_dir = os.path.join(out_dir, "history", "shingles")
     docs_dir = os.path.join(out_dir, "docs")

@@ -146,3 +146,32 @@ def test_span_and_blocking_quality_plans_have_no_python(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_top_spans_is_distributed_top_n(spark):
+    """The boilerplate triage top-n must compile to TakeOrderedAndProject
+    (per-partition partial top-k), NOT a global row_number window — a
+    no-partitionBy window funnels the entire qualifying span vocabulary
+    through one task at corpus scale."""
+    from linkorgs_software_spark.operators.corpus import top_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine") for i in range(3)],
+        "doc_id long, text string",
+    )
+    plan = _plan(top_boilerplate_spans(docs, k=8, top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_no_rdd_access_in_package():
+    """The engine is pure-DataFrame: a ``.rdd`` probe forces driver-side
+    physical planning (and escapes Catalyst), so none may exist anywhere in
+    the package source."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "linkorgs_software_spark"
+    # attribute access only (``df.rdd``); prose mentions in comments are fine
+    pat = re.compile(r"\w\.rdd\b")
+    offenders = [str(p) for p in pkg.rglob("*.py") if pat.search(p.read_text())]
+    assert offenders == [], offenders

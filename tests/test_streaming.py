@@ -388,3 +388,21 @@ def test_incremental_sink_idempotent_on_replay(spark, tmp_path):
     z.write.mode("overwrite").parquet(f"{sink}/batch_id=0")
     n2 = spark.read.parquet(sink).count()
     assert n1 == n2 > 0
+
+
+def test_neardup_batch_releases_operator_caches(spark, tmp_path):
+    """Each micro-batch runs LSH operators that persist + register internal
+    frames; ``scoped_caches()`` must release them when the batch ends so a
+    long-running stream does not pin one frame per batch forever."""
+    import linkorgs_software_spark.cache as cache
+    from linkorgs_software_spark.streaming import neardup_batch
+
+    out = str(tmp_path / "cc_out")
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, _BASE), (2, _OTHER)], schema)
+    registry_before = len(cache._OPERATOR_CACHES)
+    storage_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    neardup_batch(b0, 0, out, threshold=0.5)
+    neardup_batch(b0.withColumn("doc_id", F.col("doc_id") + 10), 1, out, threshold=0.5)
+    assert len(cache._OPERATOR_CACHES) == registry_before
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == storage_before
