@@ -195,6 +195,87 @@ _LANGS = {
 }
 
 
+def _bigram_inter_sql() -> str:
+    return f"list_intersect({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')})"
+
+
+# Calibration CTEs (appended after xr/yr): portable seeded sample (md5 top
+# 60 bits, integer half-up bucket count — operators/calibrate._seeded_sample)
+# + exact rank quantile (the ⌈q·n⌉-th smallest sampled distance, q =
+# k/sqrt(nx*ny) with k = AveMatchNumberPerAlias = 10). Every arithmetic step
+# mirrors the Spark/driver computation op-for-op (IEEE doubles, same order)
+# so the threshold — and therefore the filtered result set — matches
+# bit-for-bit.
+_CAL_THR_CTES = f"""
+nxc as (select count(*) as n from xr),
+nyc as (select count(*) as n from yr),
+xs_s as (select name_norm_x from xr
+  where (select n from nxc) <= 1000
+     or ('0x' || substr(md5('42|' || name_norm_x), 1, 15))::bigint
+        % greatest(2, ((select n from nxc) + 500) // 1000) = 0),
+ys_s as (select name_norm_y from yr
+  where (select n from nyc) <= 1000
+     or ('0x' || substr(md5('43|' || name_norm_y), 1, 15))::bigint
+        % greatest(2, ((select n from nyc) + 500) // 1000) = 0),
+cal_d as (select
+    case when len({_bigram_sql('name_norm_x')}) + len({_bigram_sql('name_norm_y')})
+              - len({_bigram_inter_sql()}) = 0
+         then 0.0
+         else 1.0 - len({_bigram_inter_sql()})::double
+              / (len({_bigram_sql('name_norm_x')}) + len({_bigram_sql('name_norm_y')})
+                 - len({_bigram_inter_sql()}))::double
+    end as dist
+  from xs_s, ys_s),
+cal_n as (select count(*) as c from cal_d),
+cal_k as (select greatest(1, least((select c from cal_n),
+    ceil(least(greatest(10.0 / sqrt((select n from nxc)::double
+                                    * (select n from nyc)::double), 0.0), 1.0)
+         * (select c from cal_n))::bigint)) as k),
+thr as (select greatest(max(dist), 0.000001) as t from (
+    select dist, row_number() over (order by dist asc) as rn from cal_d)
+  where rn <= (select k from cal_k))
+"""
+
+
+def _link_fuzzy_pipeline_sql(extra_ctes: str, thr_expr: str) -> str:
+    """Full pipeline SQL: normalize -> representative original name per
+    normalized name -> trigram blocking -> jaccard score+threshold ->
+    minDist (fuzzy-only: = stringdist) -> mutual-best two-window one-to-one
+    -> back-merge representatives. ``thr_expr`` is the distance threshold
+    (a literal for the pinned variant, a scalar subquery over the
+    calibration CTEs for the calibrated flagship)."""
+    return f"""
+with
+xs_raw as (select distinct p_name as name from part),
+ys_raw as (select distinct p_name || ' ' || p_brand as name from part),
+xr as (select {_norm_sql('name')} as name_norm_x, min(name) as name_x
+       from xs_raw where length({_norm_sql('name')}) > 0 group by 1),
+yr as (select {_norm_sql('name')} as name_norm_y, min(name) as name_y
+       from ys_raw where length({_norm_sql('name')}) > 0 group by 1),{extra_ctes}
+xt as (select name_norm_x, unnest({_tri_sql('name_norm_x')}) as gram from xr),
+yt as (select name_norm_y, unnest({_tri_sql('name_norm_y')}) as gram from yr),
+xn as (select name_norm_x, count(*) as n_grams_x from xt group by 1),
+cand as (select xt.name_norm_x, yt.name_norm_y, count(*) as shared_grams
+         from xt join yt using (gram) group by 1, 2),
+blocked as (select c.name_norm_x, c.name_norm_y from cand c join xn using (name_norm_x)
+            where c.shared_grams >= ceil(0.05 * xn.n_grams_x)),
+scored as (select name_norm_x, name_norm_y,
+  1.0 - len({_bigram_inter_sql()})::double
+      / len(list_distinct(list_concat({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')})))::double
+  as stringdist
+  from blocked),
+kept as (select name_norm_x, name_norm_y, stringdist, stringdist as min_dist
+         from scored where stringdist <= {thr_expr}),
+ranked as (select *,
+  row_number() over (partition by name_norm_x order by min_dist asc, name_norm_y asc) as rx,
+  row_number() over (partition by name_norm_y order by min_dist asc, name_norm_x asc) as ry
+  from kept)
+select xr.name_x, yr.name_y, r.stringdist, r.min_dist as "minDist"
+from ranked r join xr using (name_norm_x) join yr using (name_norm_y)
+where rx = 1 and ry = 1
+"""
+
+
 def _simhash_sql(bits: int = 64) -> str:
     """64-bit portable SimHash matching ``simhash_expr``: bit j from bit
     ``j // 32`` of the ``(j % 32)``-th md5 hex nibble; bit 63 weighted −2⁶³
@@ -581,8 +662,11 @@ def _q_blocking_quality(spark, sf_dir):
 
 
 def _q_link_fuzzy_full(spark, sf_dir):
-    """Full pipeline incl. seeded calibration — calibration(approxQuantile)
-    is not ANSI-SQL-expressible; rows-only check."""
+    """Full pipeline INCLUDING seeded calibration. Oracled since round 4:
+    the sample hash is engine-portable (md5 top 60 bits) and the quantile is
+    the exact ⌈q·n⌉-th smallest sampled distance (TakeOrderedAndProject, no
+    approxQuantile sketch), so DuckDB reproduces the calibrated threshold —
+    and therefore the result set — bit-for-bit."""
     x, y = _org_sides(spark, sf_dir)
     return link_orgs(x, y, CFG, algorithm="fuzzy", one_to_one=True).select(
         "name_x", "name_y", "stringdist", "minDist"
@@ -665,7 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json": _q_props_json,
         "lineitem_agg": _q_lineitem_agg,
         "segment_orders": _q_segment_orders,
-        "link_fuzzy_full": _q_link_fuzzy_full,  # no oracle: calibration
+        "link_fuzzy_full": _q_link_fuzzy_full,
         "link_fuzzy_full_pinned": _q_link_fuzzy_full_pinned,
         "embed_l2_linkage": _q_embed_l2_linkage,
         "blocking_quality": _q_blocking_quality,
@@ -1024,40 +1108,15 @@ select c_mktsegment, count(*) as n_orders,
 from orders join customer on o_custkey = c_custkey
 group by 1
 """,
-        # full pinned pipeline: normalize -> representative original name per
-        # normalized name -> trigram blocking -> jaccard score+threshold ->
-        # minDist (fuzzy-only: = stringdist) -> mutual-best two-window
-        # one-to-one -> back-merge representatives
-        "link_fuzzy_full_pinned": f"""
-with
-xs_raw as (select distinct p_name as name from part),
-ys_raw as (select distinct p_name || ' ' || p_brand as name from part),
-xr as (select {_norm_sql('name')} as name_norm_x, min(name) as name_x
-       from xs_raw where length({_norm_sql('name')}) > 0 group by 1),
-yr as (select {_norm_sql('name')} as name_norm_y, min(name) as name_y
-       from ys_raw where length({_norm_sql('name')}) > 0 group by 1),
-xt as (select name_norm_x, unnest({_tri_sql('name_norm_x')}) as gram from xr),
-yt as (select name_norm_y, unnest({_tri_sql('name_norm_y')}) as gram from yr),
-xn as (select name_norm_x, count(*) as n_grams_x from xt group by 1),
-cand as (select xt.name_norm_x, yt.name_norm_y, count(*) as shared_grams
-         from xt join yt using (gram) group by 1, 2),
-blocked as (select c.name_norm_x, c.name_norm_y from cand c join xn using (name_norm_x)
-            where c.shared_grams >= ceil(0.05 * xn.n_grams_x)),
-scored as (select name_norm_x, name_norm_y,
-  1.0 - len(list_intersect({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')}))::double
-      / len(list_distinct(list_concat({_bigram_sql('name_norm_x')}, {_bigram_sql('name_norm_y')})))::double
-  as stringdist
-  from blocked),
-kept as (select name_norm_x, name_norm_y, stringdist, stringdist as min_dist
-         from scored where stringdist <= 0.5),
-ranked as (select *,
-  row_number() over (partition by name_norm_x order by min_dist asc, name_norm_y asc) as rx,
-  row_number() over (partition by name_norm_y order by min_dist asc, name_norm_x asc) as ry
-  from kept)
-select xr.name_x, yr.name_y, r.stringdist, r.min_dist as "minDist"
-from ranked r join xr using (name_norm_x) join yr using (name_norm_y)
-where rx = 1 and ry = 1
-""",
+        # full pipeline at a PINNED threshold (calibration drops out)
+        "link_fuzzy_full_pinned": _link_fuzzy_pipeline_sql("", "0.5"),
+        # the CALIBRATED flagship: the same pipeline with the threshold
+        # computed by the calibration CTEs (portable seeded sample + exact
+        # rank quantile) — the last formerly-rows-only query, now
+        # value-hash-oracled end to end including calibration itself
+        "link_fuzzy_full": _link_fuzzy_pipeline_sql(
+            _CAL_THR_CTES.rstrip() + ",", "(select t from thr)"
+        ),
         "dup_spans": f"""
 with t as (select doc_id, {toks} as toks from documents),
 sp as (select doc_id,

@@ -37,13 +37,56 @@ def _seeded_sample(df: DataFrame, cap: int, seed: int, n: int | None = None) -> 
     filter keeps the sample fully parallel; the cap is approximate, which
     only affects quantile-estimation precision, never the quantile target
     (that uses exact full counts).
+
+    All-string frames hash with an ENGINE-PORTABLE key (md5 of a visible
+    string, top 60 bits as an integer) so an ANSI-SQL oracle reproduces the
+    exact sample membership — that, plus the exact rank quantile below, is
+    what lets the CALIBRATED flagship query be value-hash-checked end to
+    end. Frames carrying non-string columns (embedding calibration) keep
+    the engine-native xxhash64.
     """
+    from pyspark.sql.types import StringType
+
     n = df.count() if n is None else n
     if n <= cap:
         return df
-    buckets = max(2, round(n / cap))
-    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    buckets = max(2, (n + cap // 2) // cap)  # integer half-up: SQL-portable
+    cols = [F.col(c) for c in df.columns]
+    if all(isinstance(f.dataType, StringType) for f in df.schema.fields):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), *cols)), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(*cols, F.lit(seed))
     return df.filter(F.pmod(h, F.lit(buckets)) == 0)
+
+
+def _exact_quantile(dists: DataFrame, q: float) -> float | None:
+    """Exact rank quantile of ``dists.dist``: the ⌈q·n⌉-th smallest value
+    (clamped to [1, n]).
+
+    The calibration sample is bounded at ≤ ``calibration_sample``² pairs by
+    construction (reference ``CalibrateDistThres.R:55-56``), so an EXACT
+    quantile is cheap: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (distributed partial top-k — no global sort
+    barrier), and ``max`` of those k rows is the k-th smallest. Unlike
+    ``approxQuantile`` (engine-private Greenwald-Khanna sketch), the rank
+    pick is deterministic and ANSI-SQL-expressible, which is what lets the
+    calibrated flagship query be oracle-checked.
+    """
+    n = dists.count()
+    if n == 0:
+        return None
+    kk = max(1, min(n, math.ceil(q * n)))
+    row = (
+        dists.orderBy(F.col("dist").asc())
+        .limit(kk)
+        .agg(F.max("dist").alias("m"))
+        .collect()[0]
+    )
+    return row["m"]
 
 
 def calibrated_threshold_on_column(
@@ -86,11 +129,9 @@ def calibrated_threshold_on_column(
             .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         )
         if q >= 1.0:
-            row = dists.agg(F.max("dist").alias("m")).collect()[0]
-            thr = row["m"]
+            thr = dists.agg(F.max("dist").alias("m")).collect()[0]["m"]
         else:
-            quantiles = dists.approxQuantile("dist", [q], 0.0001)
-            thr = quantiles[0] if quantiles else None
+            thr = _exact_quantile(dists, q)
         if thr is None:
             return float("inf")
         return max(float(thr), 1e-6)
@@ -153,11 +194,9 @@ def calibrated_threshold(
             .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         )
         if q >= 1.0:
-            row = dists.agg(F.max("dist").alias("m")).collect()[0]
-            thr = row["m"]
+            thr = dists.agg(F.max("dist").alias("m")).collect()[0]["m"]
         else:
-            quantiles = dists.approxQuantile("dist", [q], 0.0001)
-            thr = quantiles[0] if quantiles else None
+            thr = _exact_quantile(dists, q)
         if thr is None:
             return float("inf")
         return max(float(thr), 1e-6)
