@@ -9,7 +9,10 @@ re-posts (same content, different words) as the corpus streams in.
 State on disk, same shape as the text variant:
   * ``history/buckets``    — (table_id, bucket, vec_id): hyperplane-LSH
     bucket posting lists of every kept vector (``num_tables`` rows per
-    vector). Candidates = bucket equi-join, never a scan of past vectors.
+    vector), stored as a catalog table partitioned by ``batch_id`` and
+    hash-bucketed on (table_id, bucket) (``streaming/history.py``) — the
+    candidate equi-join's history side is an Exchange-free bucketed scan,
+    so per-batch join cost tracks the batch, not the corpus lifetime.
   * ``history/embeddings`` — (vec_id, embedding): read only for candidate
     verification (exact cosine), so verify cost tracks candidate volume.
 
@@ -33,6 +36,7 @@ from ..functions.embedding import cosine_sim_expr
 from ..operators.ann import lsh_buckets
 from ..operators.blocking import apply_df_cap
 from .dedup import _prior_history_paths
+from .history import history_table_name, read_prior_history, write_history_bucketed
 
 
 def embed_neardup_batch(
@@ -48,6 +52,7 @@ def embed_neardup_batch(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 5000,
+    num_history_buckets: int = 64,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
 
@@ -69,6 +74,7 @@ def embed_neardup_batch(
             num_tables=num_tables,
             seed=seed,
             max_bucket_df=max_bucket_df,
+            num_history_buckets=num_history_buckets,
         )
 
 
@@ -85,6 +91,7 @@ def _embed_neardup_batch_inner(
     num_tables: int,
     seed: int,
     max_bucket_df: int | None,
+    num_history_buckets: int,
 ) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     emb_dir = os.path.join(out_dir, "history", "embeddings")
@@ -120,9 +127,13 @@ def _embed_neardup_batch_inner(
         # cross-batch: candidates from the PRIOR bucket history, verified by
         # exact cosine against the stored embeddings
         fresh = survivors
-        prior_buckets = _prior_history_paths(spark, buckets_dir, batch_id)
-        if prior_buckets:
-            old_b = spark.read.parquet(*prior_buckets).select(
+        hist_tbl = history_table_name(out_dir, "embuckets")
+        prior = read_prior_history(spark, hist_tbl, buckets_dir, batch_id)
+        # embeddings slice is written in lockstep with the bucket table; an
+        # empty prior listing = no PRIOR batch (first-batch replay) — skip
+        prior_emb = _prior_history_paths(spark, emb_dir, batch_id)
+        if prior is not None and prior_emb:
+            old_b = prior.select(
                 "table_id", "bucket", F.col("vec_id").alias("_old_id")
             )
             if max_bucket_df is not None:
@@ -138,7 +149,6 @@ def _embed_neardup_batch_inner(
                 .select(F.col("_id").alias("_new_id"), "_old_id")
                 .distinct()
             )
-            prior_emb = _prior_history_paths(spark, emb_dir, batch_id)
             old_v = spark.read.parquet(*prior_emb).select(
                 F.col("vec_id").alias("_old_id"), F.col("embedding").alias("_vb")
             )
@@ -156,9 +166,16 @@ def _embed_neardup_batch_inner(
         fresh = fresh.persist()
         try:
             fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
-            lsh_buckets(fresh.select(F.col(id_col), F.col(vec_col)), **lsh_kw).select(
-                "table_id", "bucket", F.col(id_col).alias("vec_id")
-            ).write.mode("overwrite").parquet(f"{buckets_dir}/batch_id={batch_id}")
+            write_history_bucketed(
+                lsh_buckets(fresh.select(F.col(id_col), F.col(vec_col)), **lsh_kw).select(
+                    "table_id", "bucket", F.col(id_col).alias("vec_id")
+                ),
+                hist_tbl,
+                buckets_dir,
+                batch_id,
+                bucket_cols=("table_id", "bucket"),
+                num_buckets=num_history_buckets,
+            )
             fresh.select(
                 F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
             ).write.mode("overwrite").parquet(f"{emb_dir}/batch_id={batch_id}")
@@ -181,6 +198,7 @@ def incremental_embed_neardup(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 5000,
+    num_history_buckets: int = 64,
     available_now: bool = False,
 ):
     """Start a streaming query keeping only vectors that are not cosine
@@ -200,6 +218,7 @@ def incremental_embed_neardup(
             num_tables=num_tables,
             seed=seed,
             max_bucket_df=max_bucket_df,
+            num_history_buckets=num_history_buckets,
         )
 
     writer = (

@@ -32,13 +32,14 @@ boilerplate document otherwise turns one bucket's posting list into a
 quadratic candidate task.
 
 At 100 TB the per-batch cost is dominated by the bucket equi-join against
-an ever-growing history: parquet partitioned by batch_id means each batch
-shuffles the full posting-list table. The scale deployment writes the
-bucket history as a BUCKETED table on ``bucket`` (the checkpointer's
-``run_bucketed`` pattern / Iceberg bucket partitioning), making the
-history side of the join shuffle-free and letting only matching buckets
-be read; the batch_id layout here keeps replay semantics testable without
-a metastore.
+an ever-growing history, so ``history/buckets`` is a catalog table
+partitioned by ``batch_id`` AND hash-bucketed on ``bucket``
+(``streaming/history.py``; the checkpointer's ``run_bucketed`` pattern /
+Iceberg bucket partitioning): the history side of the candidate join is an
+Exchange-free bucketed scan — only the micro-batch side shuffles, into
+``num_history_buckets`` partitions — and replay exclusion is ``batch_id``
+partition pruning. The shingle slice stays plain ``batch_id=N`` parquet:
+it is only read id-joined at candidate volume, never scanned.
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ from ..functions.text import word_shingles_expr
 from ..operators.blocking import apply_df_cap
 from ..operators.corpus import minhash_band_buckets, minhash_lsh_dups
 from .dedup import _prior_history_paths
+from .history import history_table_name, read_prior_history, write_history_bucketed
 
 
 def neardup_batch(
@@ -68,6 +70,7 @@ def neardup_batch(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
+    num_history_buckets: int = 64,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
 
@@ -89,6 +92,7 @@ def neardup_batch(
             shingle_k=shingle_k,
             threshold=threshold,
             max_bucket_df=max_bucket_df,
+            num_history_buckets=num_history_buckets,
         )
 
 
@@ -104,6 +108,7 @@ def _neardup_batch_inner(
     shingle_k: int,
     threshold: float,
     max_bucket_df: int | None,
+    num_history_buckets: int,
 ) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     shingles_dir = os.path.join(out_dir, "history", "shingles")
@@ -124,11 +129,17 @@ def _neardup_batch_inner(
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = batch_df.join(dropped, id_col, "left_anti").persist()
     try:
-        # 2. cross-batch: candidates from the PRIOR bucket history, verified
-        # by exact jaccard against the stored shingle sets
+        # 2. cross-batch: candidates from the PRIOR bucket history (bucketed
+        # table — history side joins without an Exchange; see history.py),
+        # verified by exact jaccard against the stored shingle sets
         fresh = survivors
-        prior_buckets = _prior_history_paths(spark, buckets_dir, batch_id)
-        if prior_buckets:
+        hist_tbl = history_table_name(out_dir, "buckets")
+        prior = read_prior_history(spark, hist_tbl, buckets_dir, batch_id)
+        # the shingle slice is written in lockstep with the bucket table, so
+        # an empty prior-shingle listing means no PRIOR batch exists (e.g. a
+        # replay of the very first batch) — skip, like a first batch
+        prior_shingles = _prior_history_paths(spark, shingles_dir, batch_id)
+        if prior is not None and prior_shingles:
             new_b = minhash_band_buckets(
                 survivors,
                 id_col=id_col,
@@ -137,9 +148,7 @@ def _neardup_batch_inner(
                 bands=bands,
                 shingle_k=shingle_k,
             )
-            old_b = spark.read.parquet(*prior_buckets).select(
-                "bucket", F.col("doc_id").alias("_old_id")
-            )
+            old_b = prior.select("bucket", F.col("doc_id").alias("_old_id"))
             if max_bucket_df is not None:
                 old_b = apply_df_cap(old_b, "bucket", max_bucket_df)
             cand = (
@@ -151,7 +160,6 @@ def _neardup_batch_inner(
                 F.col(id_col).alias("_new_id"),
                 word_shingles_expr(text_col, shingle_k).alias("sh_a"),
             )
-            prior_shingles = _prior_history_paths(spark, shingles_dir, batch_id)
             old_sh = spark.read.parquet(*prior_shingles).select(
                 F.col("doc_id").alias("_old_id"), F.col("shingles").alias("sh_b")
             )
@@ -169,16 +177,21 @@ def _neardup_batch_inner(
         try:
             # 3. idempotent per-batch overwrites: docs + both history slices
             fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
-            minhash_band_buckets(
-                fresh,
-                id_col=id_col,
-                text_col=text_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_k=shingle_k,
-            ).select(F.col("id").alias("doc_id"), "bucket").write.mode(
-                "overwrite"
-            ).parquet(f"{buckets_dir}/batch_id={batch_id}")
+            write_history_bucketed(
+                minhash_band_buckets(
+                    fresh,
+                    id_col=id_col,
+                    text_col=text_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    shingle_k=shingle_k,
+                ).select("bucket", F.col("id").alias("doc_id")),
+                hist_tbl,
+                buckets_dir,
+                batch_id,
+                bucket_cols=("bucket",),
+                num_buckets=num_history_buckets,
+            )
             fresh.select(
                 F.col(id_col).alias("doc_id"),
                 word_shingles_expr(text_col, shingle_k).alias("shingles"),
@@ -201,6 +214,7 @@ def incremental_neardup_dedup(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
+    num_history_buckets: int = 64,
     available_now: bool = False,
 ):
     """Start a streaming query that keeps only documents which are not
@@ -219,6 +233,7 @@ def incremental_neardup_dedup(
             shingle_k=shingle_k,
             threshold=threshold,
             max_bucket_df=max_bucket_df,
+            num_history_buckets=num_history_buckets,
         )
 
     writer = (

@@ -406,3 +406,74 @@ def test_neardup_batch_releases_operator_caches(spark, tmp_path):
     neardup_batch(b0.withColumn("doc_id", F.col("doc_id") + 10), 1, out, threshold=0.5)
     assert len(cache._OPERATOR_CACHES) == registry_before
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == storage_before
+
+
+def test_neardup_history_join_shuffle_free_on_history_side(spark, tmp_path):
+    """The round-4 scale fix: the cross-batch candidate join must read the
+    bucket history as a BUCKETED scan with no Exchange above it — only the
+    micro-batch side shuffles, so per-batch cost tracks the batch, not the
+    corpus lifetime."""
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import (
+        history_table_name,
+        read_prior_history,
+    )
+
+    out = str(tmp_path / "bh_out")
+    schema = "doc_id long, text string"
+    neardup_batch(
+        spark.createDataFrame([(1, _BASE), (2, _OTHER)], schema), 0, out, threshold=0.5
+    )
+    neardup_batch(
+        spark.createDataFrame([(3, _BASE + " extra tail")], schema), 1, out, threshold=0.5
+    )
+    tbl = history_table_name(out, "buckets")
+    assert spark.catalog.tableExists(tbl)
+    prior = read_prior_history(
+        spark, tbl, f"{out}/history/buckets", 2
+    )
+    new_b = spark.createDataFrame([("x", 99)], "bucket string, id long")
+    old_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            new_b.join(prior.select("bucket", "doc_id"), "bucket")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_broadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Bucketed: true" in plan, plan
+    # exactly ONE exchange: the new-batch side; none above the history scan
+    assert plan.count("Exchange") == 1, plan
+    seg_after_scan = plan[plan.index("FileScan parquet") :]
+    assert "Exchange" not in seg_after_scan
+
+
+def test_neardup_history_survives_catalog_loss(spark, tmp_path):
+    """The default session catalog is in-memory: after a driver restart the
+    table metadata is gone but the external data + sidecar survive. The
+    next batch must re-register the bucketed table from the sidecar and
+    keep deduplicating cross-batch — NOT mistake the lost entry for 'no
+    history yet'."""
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    out = str(tmp_path / "cl_out")
+    schema = "doc_id long, text string"
+    neardup_batch(
+        spark.createDataFrame([(1, _BASE), (2, _OTHER)], schema), 0, out, threshold=0.5
+    )
+    tbl = history_table_name(out, "buckets")
+    spark.sql(f"DROP TABLE {tbl}")  # simulate driver restart (external: data stays)
+    assert not spark.catalog.tableExists(tbl)
+    edited = _EDITED
+    neardup_batch(
+        spark.createDataFrame([(4, edited)], schema), 1, out, threshold=0.5
+    )
+    kept1 = [r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect()]
+    assert kept1 == []  # 4 is a near-dup of batch-0 doc 1: history recovered
