@@ -77,6 +77,51 @@ def _sign_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     return bucket
 
 
+def probe_buckets_expr(bucket_col: str, *, n_planes: int, multiprobe: int) -> F.Column:
+    """Array of sign-bucket ids within hamming <= ``multiprobe`` of
+    ``bucket_col`` — the classic multi-probe LSH neighbor set.
+
+    Rationale: a pair at cosine θ flips each hyperplane sign independently
+    with probability θ/π, so moderately-similar pairs (cosine ~0.8 ⇒ ~0.2
+    per plane) often land ONE bit apart and plain bucket equality misses
+    them. Probing the hamming-1 (and optionally hamming-2) neighborhood of
+    one side's code recovers those pairs at cost x(1 + p [+ p(p-1)/2])
+    candidate rows instead of falling back to the all-pairs verify — the
+    scale-path answer for thresholds below the sign-LSH sweet spot (the
+    reference's all-pairs euclidean regime,
+    ``LinkOrgs/R/LinkOrgs_PFuzzyEuclideanInternal.R:133-163``).
+    """
+    assert 0 <= multiprobe <= 2, "multiprobe supports hamming 0..2"
+    c = F.col(bucket_col)
+    vals = [c]
+    if multiprobe >= 1:
+        vals += [c.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    if multiprobe >= 2:
+        vals += [
+            c.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.array(*vals)
+
+
+def expand_probes(
+    df: DataFrame, *, n_planes: int, multiprobe: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Explode each row into its probe buckets (no-op at multiprobe=0).
+
+    Expand ONE side of a bucket equi-join only: probing both sides would
+    double-count hamming distance (a and b each one flip away meet at
+    hamming 2) and square the fan-out.
+    """
+    if multiprobe <= 0:
+        return df
+    return df.withColumn(
+        bucket_col,
+        F.explode(probe_buckets_expr(bucket_col, n_planes=n_planes, multiprobe=multiprobe)),
+    )
+
+
 def lsh_buckets(
     df: DataFrame,
     *,
@@ -258,8 +303,16 @@ def lsh_topk(
     n_planes: int = 8,
     num_tables: int = 2,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates, exact re-score, window k."""
+    """Approximate top-k: bucket-join candidates, exact re-score, window k.
+
+    ``multiprobe`` > 0 additionally probes the QUERY side's hamming-1 (or
+    -2) neighbor buckets — recall extends to moderately-similar neighbors
+    at (1 + n_planes [+ ...])x query fan-out, while the corpus side stays
+    exact buckets (bucketed/partitioned at scale, so probing the small
+    query side is the cheap direction).
+    """
     kw = dict(vec_col=vec_col, dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed)
     cb = lsh_buckets(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv")),
@@ -269,6 +322,7 @@ def lsh_topk(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         **{**kw, "vec_col": "_qv"},
     )
+    qb = expand_probes(qb, n_planes=n_planes, multiprobe=multiprobe)
     cand = (
         cb.join(qb, ["table_id", "bucket"])
         .select("query_id", "vec_id", "_cv", "_qv")

@@ -592,6 +592,7 @@ def embedding_neardup_lsh(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 10_000,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH candidates + exact verify.
 
@@ -602,23 +603,65 @@ def embedding_neardup_lsh(
     P[same bucket in >=1 of T tables] = 1-(1-(1-θ/π)^p)^T — for near-dup
     thresholds (cosine >= 0.95 ⇒ θ <= 18°) recall is ~1 at p=8, T=4.
 
-    Unlike the all-pairs verify, cost is Σ bucket² not n²; ``max_bucket_df``
-    caps degenerate buckets the same way the other LSH families do.
+    ``multiprobe`` > 0 extends recall DOWN the threshold range (cosine
+    ~0.8, θ ~37° — where exact-bucket recall sags) by additionally probing
+    one side's hamming-1 (or -2) neighbor buckets (``ann.expand_probes``):
+    pairs whose sign codes differ by <= multiprobe bits in any table become
+    candidates, at (1 + n_planes [+ C(n_planes,2)])x fan-out on ONE side —
+    still Σ bucket·cap, never the all-pairs n² the brute verify pays.
+
+    ``max_bucket_df`` caps degenerate buckets the same way the other LSH
+    families do (on EXACT bucket posting lists, before probe expansion, so
+    a probe can never resurrect an over-cap bucket).
     """
-    from .ann import lsh_buckets
+    cand = _embedding_lsh_candidates(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        num_tables=num_tables,
+        seed=seed,
+        max_bucket_df=max_bucket_df,
+        multiprobe=multiprobe,
+    )
+    return (
+        cand.withColumn("cosine_sim", cosine_sim_expr("v_a", "v_b"))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def _embedding_lsh_candidates(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    num_tables: int,
+    seed: int,
+    max_bucket_df: int | None,
+    multiprobe: int,
+) -> DataFrame:
+    """Deduped candidate pairs ``(id_a, id_b, v_a, v_b)`` for the LSH
+    near-dup verify (factored out so tests can bound candidate volume)."""
+    from .ann import expand_probes, lsh_buckets
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     b = lsh_buckets(
         base, vec_col="v", dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed
-    ).withColumn("tb", F.concat_ws(":", "table_id", "bucket")).select("id", "v", "tb")
+    ).select("id", "v", "table_id", "bucket")
     # the bucket id costs n_planes x num_tables literal dot products per row
     # and feeds the cap count plus both self-join sides — compute it once
     b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     if max_bucket_df is not None:
-        b = apply_df_cap(b, "tb", max_bucket_df)
-    cand = (
-        b.alias("a")
-        .join(b.alias("b"), "tb")
+        b = b.withColumn("_tb", F.concat_ws(":", "table_id", "bucket"))
+        b = apply_df_cap(b, "_tb", max_bucket_df).drop("_tb")
+    probed = expand_probes(b, n_planes=n_planes, multiprobe=multiprobe)
+    return (
+        probed.alias("a")
+        .join(b.alias("b"), ["table_id", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
@@ -627,9 +670,4 @@ def embedding_neardup_lsh(
             F.col("b.v").alias("v_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("cosine_sim", cosine_sim_expr("v_a", "v_b"))
-        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cosine_sim")
     )

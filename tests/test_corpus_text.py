@@ -423,3 +423,71 @@ def test_release_caches_frees_operator_persists(spark, docs):
     released = release_caches()
     assert released >= 2
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_multiprobe_lsh_reaches_brute_recall_at_low_threshold(spark):
+    """Multi-probe LSH (hamming-1 neighbor buckets) is the scale path for
+    cosine thresholds below the sign-LSH sweet spot: on planted twins at
+    cosine ~0.85 with threshold 0.80 — where exact-bucket LSH measurably
+    under-recalls — probing must recover EXACTLY the brute-force pair set
+    (df-cap active), at candidate volume far below all-pairs."""
+    import numpy as np
+
+    from linkorgs_software_spark.operators.corpus import (
+        _embedding_lsh_candidates,
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.normal(size=(30, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        w = rng.normal(size=dim)
+        w -= w.dot(v) * v
+        w /= np.linalg.norm(w)
+        ang = np.arccos(0.85)
+        t = np.cos(ang) * v + np.sin(ang) * w
+        rows.append((i + 1000, [float(x) for x in t]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {(r.id_a, r.id_b) for r in embedding_neardup(emb, threshold=0.80).collect()}
+    assert len(brute) >= 30  # every planted twin pair is above threshold
+
+    kw = dict(threshold=0.80, dim=dim, n_planes=8, num_tables=6, seed=42,
+              max_bucket_df=1000)
+    exact_only = {(r.id_a, r.id_b) for r in embedding_neardup_lsh(emb, multiprobe=0, **kw).collect()}
+    probed = {(r.id_a, r.id_b) for r in embedding_neardup_lsh(emb, multiprobe=1, **kw).collect()}
+    assert len(exact_only) < len(brute)  # this regime genuinely needs probing
+    assert probed == brute  # multiprobe closes the gap exactly
+
+    # cost bound: candidates stay far below all-pairs (n=60 -> 1770 pairs)
+    n = emb.count()
+    n_cand = _embedding_lsh_candidates(
+        emb, id_col="vec_id", vec_col="embedding", dim=dim, n_planes=8,
+        num_tables=6, seed=42, max_bucket_df=1000, multiprobe=1,
+    ).count()
+    assert n_cand < 0.45 * n * (n - 1) / 2, n_cand
+
+
+def test_lsh_topk_multiprobe_improves_neighbor_recall(spark, emb):
+    """Query-side multi-probe in lsh_topk: candidates grow monotonically
+    with multiprobe and self-matches are always found."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.ann import lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r0 = lsh_topk(emb, q, k=5, num_tables=2, n_planes=8, multiprobe=0)
+    r1 = lsh_topk(emb, q, k=5, num_tables=2, n_planes=8, multiprobe=1)
+    s0 = {(r.query_id, r.vec_id) for r in r0.collect()}
+    s1 = {(r.query_id, r.vec_id) for r in r1.collect()}
+    assert all((i, i) in s1 for i in range(5))
+    # more probes -> per-query candidate pool is a superset -> result ranks
+    # at least as high-similarity; sanity: result sets not smaller
+    assert len(s1) >= len(s0)
