@@ -645,6 +645,21 @@ def _q_top_spans(spark, sf_dir):
     return top_boilerplate_spans(docs, k=8, top_n=20)
 
 
+def _q_strip_boilerplate(spark, sf_dir):
+    """Boilerplate removal — the action the top_spans triage list feeds:
+    every token inside any occurrence of a top-20 repeated length-8 window
+    is removed; single corpus scan, broadcast span list, zero shuffles on
+    the doc side."""
+    from linkorgs_software_spark.operators.corpus import (
+        strip_boilerplate_spans,
+        top_boilerplate_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = top_boilerplate_spans(docs, k=8, top_n=20)
+    return strip_boilerplate_spans(docs, spans, k=8)
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking-stage quality metrics (pairs completeness + reduction
     ratio) of the trigram candidate generator against the derivable truth
@@ -755,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": _q_blocking_quality,
         "dup_spans": _q_dup_spans,
         "top_spans": _q_top_spans,
+        "strip_boilerplate": _q_strip_boilerplate,
     }
 
 
@@ -1149,6 +1165,33 @@ agg as (select span, count(distinct doc_id) as n_docs, count(*) as n_occurrences
 r as (select *, row_number() over
         (order by n_docs desc, n_occurrences desc, span asc) as rn from agg)
 select span, n_docs, n_occurrences from r where rn <= 20
+""",
+        "strip_boilerplate": f"""
+with t as (select doc_id, {toks} as toks from documents),
+sp as (select doc_id, unnest(
+  case when len(toks) >= 8 then
+    list_transform(range(1, len(toks) - 8 + 2),
+                   i -> array_to_string(toks[i:i+7], ' '))
+  else []::varchar[] end) as span from t),
+agg as (select span, count(distinct doc_id) as n_docs, count(*) as n_occurrences
+        from sp group by 1 having count(distinct doc_id) >= 2),
+r as (select *, row_number() over
+        (order by n_docs desc, n_occurrences desc, span asc) as rn from agg),
+top as (select coalesce(list(span), []::varchar[]) as span_set from r where rn <= 20),
+s as (select doc_id, toks,
+  list_filter(case when len(toks) >= 8 then range(1, len(toks) - 8 + 2)
+              else []::bigint[] end,
+    i -> list_contains(span_set, array_to_string(toks[i:i+7], ' '))) as starts
+  from t, top),
+k as (select doc_id, toks, starts,
+  list_filter(toks, (tok, i) ->
+    not len(list_filter(starts, st -> st <= i and i < st + 8)) > 0) as kept
+  from s)
+select doc_id,
+  array_to_string(kept, ' ') as text_clean,
+  len(toks)::bigint as n_tokens,
+  (len(toks) - len(kept))::bigint as n_removed
+from k
 """,
         "blocking_quality": f"""
 {_BLOCKED_CTE},

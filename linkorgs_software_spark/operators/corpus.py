@@ -182,6 +182,64 @@ def top_boilerplate_spans(
     ).limit(top_n)
 
 
+def strip_boilerplate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_col: str = "span",
+) -> DataFrame:
+    """Remove every occurrence of the listed boilerplate spans from each
+    document — the ACTION the ``top_boilerplate_spans`` triage list exists
+    for. Returns ``(doc_id, text_clean, n_tokens, n_removed)``.
+
+    Semantics (covered-token removal, deterministic and order-free): a
+    token is removed iff it lies inside ANY occurrence of ANY listed span —
+    i.e. inside a length-``k`` token window whose lowercase space-joined
+    text is in ``spans.span_col``. Overlapping occurrences union naturally;
+    ``text_clean`` is the surviving tokens joined by single spaces (the
+    same normalized token stream the span detector operates on).
+
+    Scale shape: ONE scan of the corpus, zero shuffles — the span list
+    (top-N by construction) is aggregated to a single array row and
+    broadcast-cross-joined onto every doc; window membership, covered-start
+    detection, and token filtering are all per-row Catalyst array lambdas.
+    No per-doc re-join, no explode.
+    """
+    from ..functions.text import tokens_expr
+
+    spans_arr = spans.agg(F.collect_set(span_col).alias("_span_set"))
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    d = df.crossJoin(F.broadcast(spans_arr)).withColumn("_toks", toks)
+    n = F.size("_toks")
+    starts = F.filter(
+        F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.array_contains(
+            F.col("_span_set"), F.concat_ws(" ", F.slice(F.col("_toks"), i, k))
+        ),
+    )
+    d = d.withColumn("_starts", starts)
+    # token at 1-based position p survives iff no covered start s has
+    # s <= p < s+k (filter's lambda index is 0-based: p = i+1)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_starts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + F.lit(k)),
+        ),
+    )
+    return d.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def ngram_jaccard_dups(
     df: DataFrame,
     *,

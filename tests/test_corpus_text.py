@@ -491,3 +491,62 @@ def test_lsh_topk_multiprobe_improves_neighbor_recall(spark, emb):
     # more probes -> per-query candidate pool is a superset -> result ranks
     # at least as high-similarity; sanity: result sets not smaller
     assert len(s1) >= len(s0)
+
+
+def test_strip_boilerplate_spans_removes_covered_tokens(spark):
+    """Tokens inside any occurrence of a listed span are removed (overlaps
+    union); other docs pass through; the corpus-level duplicated-span
+    fraction drops after stripping."""
+    from linkorgs_software_spark.operators.corpus import (
+        duplicated_spans,
+        strip_boilerplate_spans,
+        top_boilerplate_spans,
+    )
+
+    boiler = "please subscribe to our newsletter for updates every single day"  # 10 toks
+    rows = [
+        (1, boiler + " unique alpha content here"),
+        (2, "intro words " + boiler),
+        (3, boiler),
+        (4, "totally unrelated document with completely original text tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = top_boilerplate_spans(docs, k=8, top_n=5)
+    out = {r.doc_id: r for r in strip_boilerplate_spans(docs, spans, k=8).collect()}
+
+    # the 10-token boilerplate contains 3 length-8 windows, all shared by
+    # docs 1-3 -> every boilerplate token is covered in each of them
+    assert out[3].text_clean == "" and out[3].n_removed == 10
+    assert out[1].text_clean == "unique alpha content here"
+    assert out[2].text_clean == "intro words"
+    assert out[4].n_removed == 0
+    assert out[4].text_clean == rows[3][1]
+
+    # corpus hygiene effect: dup-span mass disappears after stripping
+    before = duplicated_spans(docs, k=8).agg(F.sum("n_dup_spans")).collect()[0][0]
+    cleaned = strip_boilerplate_spans(docs, spans, k=8).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    after = duplicated_spans(cleaned, k=8).agg(F.sum("n_dup_spans")).collect()[0][0]
+    assert before > 0 and after == 0
+
+
+def test_strip_boilerplate_plan_is_broadcast_no_python(spark):
+    """One corpus scan + broadcast span list: the doc side must not shuffle
+    (no SortMergeJoin / hash Exchange on the doc side) and no Python node."""
+    from linkorgs_software_spark.operators.corpus import strip_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame([("one two three four five six seven eight",)], "span string")
+    plan = (
+        strip_boilerplate_spans(docs, spans, k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
