@@ -11,6 +11,7 @@ that would be order-sensitive in fp is computed in decimal then cast.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -530,6 +531,60 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ivf_balance(spark, sf_dir):
+    """Coarse-quantizer balance metrics (per-list counts as one row) — at
+    100 TB an unbalanced nlist is the IVF analogue of a hot blocking
+    bucket. Oracled with the SAME centroids: training is a pure function of
+    (distinct rows, seed) via the shared numpy kernel (ann.kmeans_cosine),
+    so the oracle derives identical literal centroids from the parquet and
+    mirrors the Catalyst argmax assignment in SQL."""
+    from linkorgs_software_spark.operators.ann import ivf_balance
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_balance(emb, nlist=8, seed=42)
+
+
+def _ivf_balance_sql() -> str:
+    """Generate the DuckDB mirror of ``_q_ivf_balance``: reproduce the
+    seeded centroid training outside Spark (same distinct rows, same
+    canonical lexicographic order, same numpy kernel) and embed the
+    centroids as SQL literals; sums use ``list_reduce`` so the fp fold
+    order matches Catalyst's ``aggregate`` exactly."""
+    import numpy as np
+
+    import duckdb
+    from linkorgs_software_spark.operators.ann import kmeans_cosine
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(f"select embedding from '{sf}/embeddings.parquet'").fetchall()
+    con.close()
+    X = np.array(sorted({tuple(r[0]) for r in rows}), dtype=np.float64)
+    C = kmeans_cosine(X, 8, 42)
+    dim = X.shape[1]
+
+    def _seq_sum(body: str) -> str:
+        return f"list_reduce(list_transform(range(1, {dim + 1}), i -> {body}), (a, b) -> a + b)"
+
+    nrm = f"sqrt({_seq_sum('embedding[i]::double * embedding[i]::double')})"
+    sims = []
+    for c in C:
+        lit = "[" + ", ".join(repr(float(w)) for w in c) + "]"
+        dot = _seq_sum(f"embedding[i]::double * ({lit})[i]")
+        sims.append(f"case when {nrm} = 0 then -2.0 else ({dot}) / ({nrm}) end")
+    sims_arr = "[" + ", ".join(sims) + "]"
+    return f"""
+with a as (select (list_indexof({sims_arr}, list_aggregate({sims_arr}, 'max')) - 1) as list_id
+           from embeddings),
+per as (select list_id, count(*) as n from a group by 1)
+select {len(C)}::bigint as nlist, count(*)::bigint as n_lists_nonempty,
+  sum(n)::bigint as n_vectors, min(n)::bigint as min_list, max(n)::bigint as max_list,
+  round(sum(n)::double / count(*)::double, 6) as avg_list,
+  round(max(n)::double * count(*)::double / sum(n)::double, 6) as max_over_avg
+from per
+"""
+
+
 def _q_ivf_topk_full(spark, sf_dir):
     """IVF ANN with nprobe == nlist (every list probed): must reproduce the
     exact brute-force top-k, so the brute-force SQL is an exact oracle of
@@ -757,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "ivf_topk_full": _q_ivf_topk_full,
+        "ivf_balance": _q_ivf_balance,
         "events_running": _q_events_running,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
@@ -1049,6 +1105,7 @@ select query_id, vec_id, rank from (
     row_number() over (partition by query_id order by cos desc, vec_id asc) as rank
   from scored) where rank <= 3
 """,
+        "ivf_balance": _ivf_balance_sql(),
         "ivf_topk_full": f"""
 with q as (select vec_id as query_id, embedding from embeddings where vec_id < 5),
 scored as (

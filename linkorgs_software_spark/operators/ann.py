@@ -191,7 +191,14 @@ def _train_centroids(
     X = np.array([r.v for r in rows], dtype=np.float64)
     if len(X):
         X = X[np.lexsort(X.T[::-1])]  # canonical row order: partition-invariant
-    # cosine k-means: operate on L2-normalized vectors
+    return kmeans_cosine(X, nlist, seed, iters=iters)
+
+
+def kmeans_cosine(X: np.ndarray, nlist: int, seed: int, *, iters: int = 10) -> np.ndarray:
+    """Seeded Lloyd cosine k-means on a CANONICALLY-ORDERED matrix (pure
+    numpy — shared by the Spark training path and the DuckDB oracle, which
+    reproduces centroids bit-for-bit from the same rows + seed)."""
+    # operate on L2-normalized vectors
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(norms == 0, 1.0, norms)
     rng = np.random.RandomState(seed)
@@ -336,4 +343,54 @@ def lsh_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_balance(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    sample_cap: int = 20_000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Coarse-quantizer balance metrics as ONE map-side-countable row:
+    ``(nlist, n_lists_nonempty, n_vectors, min_list, max_list, avg_list,
+    max_over_avg)``.
+
+    At 100 TB an unbalanced ``nlist`` is the IVF equivalent of a hot
+    blocking bucket: every query probing the fat list scans it, so the
+    quantizer's skew bounds tail latency. ``max_over_avg`` is the hot-list
+    factor vs a perfectly balanced quantizer (1.0 = uniform); ``avg_list``
+    averages over NON-EMPTY lists. Like ``assess_blocking``, the result is
+    a 1-row DataFrame (no driver collect of row data — only the bounded
+    centroid-training sample collects).
+    """
+    c = corpus.select(F.col(vec_col).alias("_cv"))
+    if centroids is None:
+        centroids = _train_centroids(
+            c, vec_col="_cv", nlist=nlist, seed=seed, sample_cap=sample_cap
+        )
+    per = (
+        ivf_assign(c, centroids, vec_col="_cv")
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = len(centroids)
+    return per.agg(
+        F.lit(k).cast("long").alias("nlist"),
+        F.count(F.lit(1)).cast("long").alias("n_lists_nonempty"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_list"),
+        F.max("n").cast("long").alias("max_list"),
+        F.round(
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_list"),
+        F.round(
+            F.max("n").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("max_over_avg"),
     )

@@ -550,3 +550,46 @@ def test_strip_boilerplate_plan_is_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_balance_flags_skewed_quantizer(spark):
+    """On a deliberately skewed corpus (one fat cluster, two thin ones) the
+    balance row must expose the hot list: max_over_avg well above 1; on the
+    same corpus rebalanced to equal clusters it stays near 1."""
+    import numpy as np
+
+    from linkorgs_software_spark.operators.ann import ivf_balance
+
+    rng = np.random.RandomState(3)
+    dim = 8
+    centers = np.eye(3, dim)  # orthogonal: unambiguous cluster structure
+
+    def make(sizes):
+        rows = []
+        i = 0
+        for c, sz in zip(centers, sizes):
+            for _ in range(sz):
+                v = c + 0.05 * rng.normal(size=dim)
+                rows.append((i, [float(x) for x in v]))
+                i += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # quantizer trained on a balanced snapshot (the IVF build), then the
+    # serving distribution drifts toward one cluster — the hot-list case
+    # this metric exists to expose (training on the skewed corpus itself
+    # would let k-means split the fat cluster and mask the drift)
+    from linkorgs_software_spark.operators.ann import _train_centroids
+
+    even_corpus = make([100, 100, 100])
+    C = _train_centroids(
+        even_corpus.select(F.col("embedding").alias("_cv")),
+        vec_col="_cv", nlist=3, seed=11,
+    )
+    skewed = ivf_balance(make([240, 30, 30]), nlist=3, seed=11, centroids=C).collect()[0]
+    assert skewed.nlist == 3 and skewed.n_vectors == 300
+    assert skewed.max_list >= 200
+    assert skewed.max_over_avg > 1.8
+
+    even = ivf_balance(even_corpus, nlist=3, seed=11, centroids=C).collect()[0]
+    assert even.n_lists_nonempty == 3
+    assert even.max_over_avg < 1.3
