@@ -258,6 +258,36 @@ def bench_dup_spans(spark, sf_dir: str):
     return duplicated_spans(docs, k=8).agg(F.sum("n_dup_spans")).collect()[0][0]
 
 
+def bench_incremental_neardup(spark, sf_dir: str):
+    """Streaming near-dup dedup fixed workload: the documents table split
+    into 4 micro-batches processed sequentially through neardup_batch —
+    intra-batch MinHash-LSH plus the cross-batch candidate join against the
+    BUCKETED history table (round-4 layout), so history-join regressions
+    are measurable."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="linkorgs_bench_neardup_")
+    try:
+        for b in range(4):
+            neardup_batch(
+                docs.filter(F.col("doc_id") % 4 == b), b, out, threshold=0.5
+            )
+        return spark.read.parquet(f"{out}/docs").count()
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'buckets')}")
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_lineitem_agg(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -282,9 +312,20 @@ QUERIES = {
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
     "dup_spans": bench_dup_spans,
+    "incremental_neardup": bench_incremental_neardup,
     "lineitem_agg": bench_lineitem_agg,
     "f1_gate": bench_f1_gate,
 }
+
+
+def _canary(spark) -> float:
+    """Fixed-cost CPU-bound probe (sum over a generated range — no IO, no
+    shuffle): its wall time varies only with host contention."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 40_000_000, 1, 16).agg(F.sum(F.col("id") * 2)).collect()
+    return round(time.time() - t0, 3)
 
 
 def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -> dict:
@@ -298,6 +339,13 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
         spark.sparkContext.addPyFile(make_pyfiles_zip())
     # warm the JVM/session so query timings measure the queries
     spark.range(1000).count()
+    # Contention sentinel: the same fixed-cost CPU probe first and last.
+    # Single-shot driver runs on this host have shown 10x swings from
+    # co-tenant load (round-3 adjudication: a 159s reading replayed at
+    # 14s); a canary spread > ~1.3x self-labels the window as contaminated
+    # so per-query timings are read as suspect instead of as regressions.
+    _canary(spark)  # untimed: pay whole-stage-codegen JIT once up front
+    canary_pre = _canary(spark)
     secs = {}
     counts = {}
     for name, fn in QUERIES.items():
@@ -306,7 +354,11 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
         out, dt = _timed(lambda: fn(spark, sf_dir))
         secs[name] = round(dt, 3)
         counts[name] = out
+    canary_post = _canary(spark)
     spark.stop()
+    contention_ratio = round(
+        max(canary_pre, canary_post) / max(min(canary_pre, canary_post), 1e-9), 3
+    )
     total = round(sum(secs.values()), 3)
     # Headline throughput is measured on the FIXED 22.8M-pair checkpointed
     # scoring workload: blocking-semantics improvements change how many
@@ -331,6 +383,10 @@ def run_once(cores: int, sf_dir: str, queries=None, master: str | None = None) -
         "cores": cores,
         "pairs_scored": counts.get("link_block_score", counts.get(headline, 0)),
         "total_sec": total,
+        "canary_pre_sec": canary_pre,
+        "canary_post_sec": canary_post,
+        "contention_ratio": contention_ratio,
+        "contended": contention_ratio > 1.3,
     }
 
 
@@ -402,7 +458,10 @@ def run_scaling(sf_dir: str) -> None:
     print(json.dumps({"scaling_efficiency": round(eff, 3), f"pps{lo}": pps[lo], f"pps{hi}": pps[hi]}))
 
 
-AB_DEFAULT_QUERIES = "link_block_score_heavy,link_full_pipeline,f1_gate,minhash_lsh_dedup"
+AB_DEFAULT_QUERIES = (
+    "link_block_score_heavy,link_full_pipeline,f1_gate,minhash_lsh_dedup,"
+    "incremental_neardup"
+)
 
 
 def _ab_worktree(ref: str) -> str:
