@@ -8,7 +8,7 @@ corpus operators a 100 TB training-data pipeline needs (dedup families,
 ANN, text analysis, multimodal plumbing).
 """
 
-from .cache import release_caches
+from .cache import release_caches, scoped_caches
 from .config import DEFAULT, LinkConfig, fixed_threshold_config
 from .operators.assess import MatchAssessment, assess_match_performance
 from .operators.calibrate import calibrated_threshold
@@ -27,4 +27,5 @@ __all__ = [
     "assess_match_performance",
     "MatchAssessment",
     "release_caches",
+    "scoped_caches",
 ]

@@ -148,6 +148,7 @@ def _embed_match(
     max_dist: float | None,
     blocking: str = "trigram",
     dim: int | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """L2 scoring over per-name embeddings (reference ``ml`` analogue).
 
@@ -165,7 +166,10 @@ def _embed_match(
         similar names with NO shared trigrams still match — the
         scale-correct analogue of the reference's all-pairs euclidean scan
         (``LinkOrgs_PFuzzyEuclideanInternal.R:133-163`` scores every (ix,
-        iy); O(n²) is fine single-node, not at 10^9 names).
+        iy); O(n²) is fine single-node, not at 10^9 names). ``multiprobe``
+        > 0 additionally probes the x side's hamming-1/2 neighbor buckets
+        (``ann.expand_probes``) so moderately-similar vectors match
+        without all-pairs.
       * ``"none"``    — the reference's literal all-pairs semantics
         (bounded inputs only).
     """
@@ -183,7 +187,7 @@ def _embed_match(
         cands = candidate_pairs(x_prep, y_prep, cfg).select("x_id", "y_id")
         scored = cands.join(xn, "x_id").join(yn, "y_id")
     elif blocking == "ann":
-        from ..operators.ann import lsh_buckets
+        from ..operators.ann import expand_probes, lsh_buckets
 
         if dim is None:
             head = ye.select("_emb").head(1)
@@ -202,6 +206,7 @@ def _embed_match(
         yb = lsh_buckets(yn.withColumnRenamed("_emb_y", "_emb_b"), **kw).withColumnRenamed(
             "_emb_b", "_emb_y"
         )
+        xb = expand_probes(xb, n_planes=8, multiprobe=multiprobe)
         scored = (
             xb.join(yb, ["table_id", "bucket"])
             .drop("table_id", "bucket")
@@ -232,6 +237,7 @@ def link_orgs(
     embed_col_x: str | None = None,
     embed_col_y: str | None = None,
     embed_blocking: str = "trigram",
+    embed_multiprobe: int = 0,
     export_embeddings_only: bool = False,
     return_diagnostics: bool = False,
 ):
@@ -252,6 +258,9 @@ def link_orgs(
     vectors — semantic neighbors without shared trigrams still match, the
     scale analogue of the reference's all-pairs euclidean scan), or
     ``"none"`` (literal all-pairs, bounded inputs only).
+    ``embed_multiprobe`` (ann blocking only) probes hamming-1/2 neighbor
+    sign buckets on the x side, extending recall to moderately-similar
+    vectors without the all-pairs fallback.
 
     ``export_embeddings_only=True`` early-returns ``{"embedx": DataFrame,
     "embedy": DataFrame}`` — each ``(<by col>, embedding)`` per input name —
@@ -368,6 +377,7 @@ def link_orgs(
             # hash-kernel width is a compile-time constant; only user-supplied
             # vectors need the (guarded, persisted) one-row probe
             dim=DEFAULT_DIM if embed_col_x is None else None,
+            multiprobe=embed_multiprobe,
         )
     elif algorithm == "lookup":
         dir_prep = _register_cache(prepare_directory(directory, cfg).cache())

@@ -360,3 +360,53 @@ def test_no_per_row_python_in_default_plan(spark, fixture_tables):
     )
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_embed_ann_multiprobe_recovers_moderate_neighbors(spark):
+    """embed_multiprobe extends the ann blocking path's recall: a pair of
+    moderately-similar vectors whose sign codes differ by one hyperplane
+    bit in every table is missed by exact-bucket candidates but recovered
+    at multiprobe=1 — without falling back to all-pairs blocking."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    # build a pair at cosine ~0.85 plus filler vectors; hunt (seeded,
+    # deterministic) for a pair the exact buckets miss at these seeds
+    def make_pair(k):
+        v = rng.normal(size=dim); v /= np.linalg.norm(v)
+        w = rng.normal(size=dim); w -= w.dot(v) * v; w /= np.linalg.norm(w)
+        ang = np.arccos(0.85)
+        t = np.cos(ang) * v + np.sin(ang) * w
+        return v, t
+
+    from linkorgs_software_spark.operators.ann import _hyperplanes
+
+    found = None
+    for k in range(200):
+        v, t = make_pair(k)
+        # want: EVERY of the 4 tables at sign-code hamming exactly 1 —
+        # guarantees exact buckets miss in all tables while multiprobe=1
+        # catches in all (conservative, but easy to hunt for)
+        miss_all = True
+        for tbl in range(4):
+            planes = _hyperplanes(dim, 8, 42 + 1000 * tbl)
+            if np.sum((planes @ v > 0) != (planes @ t > 0)) != 1:
+                miss_all = False
+                break
+        if miss_all:
+            found = (v, t)
+            break
+    assert found is not None
+    v, t = found
+    x = spark.createDataFrame(
+        [(1, "zz qq", [float(a) for a in v])], "id long, name string, vec array<float>"
+    )
+    y = spark.createDataFrame(
+        [(1, "aa bb", [float(a) for a in t])], "id long, name string, vec array<float>"
+    )
+    cfg = fixed_threshold_config(max_dist=1.0)
+    kw = dict(embed_col_x="vec", embed_col_y="vec", embed_blocking="ann")
+    assert link_orgs(x, y, cfg, **kw).count() == 0  # exact buckets miss
+    z = link_orgs(x, y, cfg, embed_multiprobe=1, **kw)
+    assert {(r.name_x, r.name_y) for r in z.collect()} == {("zz qq", "aa bb")}
