@@ -53,7 +53,7 @@ from ..cache import scoped_caches
 from ..functions.qgrams import jaccard_qgram_dist_expr
 from ..functions.text import word_shingles_expr
 from ..operators.blocking import apply_df_cap
-from ..operators.corpus import minhash_band_buckets, minhash_lsh_dups
+from ..operators.corpus import minhash_band_buckets
 from .dedup import _prior_history_paths
 from .history import history_table_name, read_prior_history, write_history_bucketed
 
@@ -115,91 +115,123 @@ def _neardup_batch_inner(
     docs_dir = os.path.join(out_dir, "docs")
     spark = batch_df.sparkSession
 
-    # 1. intra-batch near-dups: drop the larger id of every verified pair
-    pairs = minhash_lsh_dups(
+    # The batch's banded frame (signature aggregation — the expensive
+    # explode+groupBy) and its shingle sets are each computed ONCE and
+    # shared by every stage: intra-batch candidates, cross-batch
+    # candidates, both verifies, and both history writes. The previous
+    # layout recomputed the signature shuffle three times per batch (once
+    # inside minhash_lsh_dups, once for survivors, once for the history
+    # write) — a 3x fixed cost per micro-batch that set the streaming
+    # latency floor.
+    banded = minhash_band_buckets(
         batch_df,
         id_col=id_col,
         text_col=text_col,
         num_hashes=num_hashes,
         bands=bands,
         shingle_k=shingle_k,
-        threshold=threshold,
-        max_bucket_df=max_bucket_df,
-    )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = batch_df.join(dropped, id_col, "left_anti").persist()
+    ).select(F.col("id").alias(id_col), "bucket").persist()
+    sh = batch_df.select(
+        F.col(id_col), word_shingles_expr(text_col, shingle_k).alias("shingles")
+    ).persist()
     try:
-        # 2. cross-batch: candidates from the PRIOR bucket history (bucketed
-        # table — history side joins without an Exchange; see history.py),
-        # verified by exact jaccard against the stored shingle sets
-        fresh = survivors
-        hist_tbl = history_table_name(out_dir, "buckets")
-        prior = read_prior_history(spark, hist_tbl, buckets_dir, batch_id)
-        # the shingle slice is written in lockstep with the bucket table, so
-        # an empty prior-shingle listing means no PRIOR batch exists (e.g. a
-        # replay of the very first batch) — skip, like a first batch
-        prior_shingles = _prior_history_paths(spark, shingles_dir, batch_id)
-        if prior is not None and prior_shingles:
-            new_b = minhash_band_buckets(
-                survivors,
-                id_col=id_col,
-                text_col=text_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_k=shingle_k,
+        # 1. intra-batch near-dups: drop the larger id of every verified
+        # pair (same semantics as the batch minhash_lsh_dups operator)
+        b = banded
+        if max_bucket_df is not None:
+            b = apply_df_cap(b, "bucket", max_bucket_df)
+        cand_in = (
+            b.alias("a")
+            .join(b.alias("b"), "bucket")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("_id_a"), F.col(f"b.{id_col}").alias("_id_b")
             )
-            old_b = prior.select("bucket", F.col("doc_id").alias("_old_id"))
-            if max_bucket_df is not None:
-                old_b = apply_df_cap(old_b, "bucket", max_bucket_df)
-            cand = (
-                new_b.join(old_b, "bucket")
-                .select(F.col("id").alias("_new_id"), "_old_id")
-                .distinct()
+            .distinct()
+        )
+        sim = F.lit(1.0) - jaccard_qgram_dist_expr("sh_a", "sh_b")
+        dropped = (
+            cand_in.join(
+                sh.select(F.col(id_col).alias("_id_a"), F.col("shingles").alias("sh_a")),
+                "_id_a",
             )
-            new_sh = survivors.select(
-                F.col(id_col).alias("_new_id"),
-                word_shingles_expr(text_col, shingle_k).alias("sh_a"),
+            .join(
+                sh.select(F.col(id_col).alias("_id_b"), F.col("shingles").alias("sh_b")),
+                "_id_b",
             )
-            old_sh = spark.read.parquet(*prior_shingles).select(
-                F.col("doc_id").alias("_old_id"), F.col("shingles").alias("sh_b")
-            )
-            sim = F.lit(1.0) - jaccard_qgram_dist_expr("sh_a", "sh_b")
-            dup_new = (
-                cand.join(new_sh, "_new_id")
-                .join(old_sh, "_old_id")
-                .withColumn("_sim", sim)
-                .filter(F.col("_sim") >= F.lit(float(threshold)))
-                .select(F.col("_new_id").alias(id_col))
-                .distinct()
-            )
-            fresh = survivors.join(dup_new, id_col, "left_anti")
-        fresh = fresh.persist()
+            .filter(sim >= F.lit(float(threshold)))
+            .select(F.col("_id_b").alias(id_col))
+            .distinct()
+        )
+        survivors = batch_df.join(dropped, id_col, "left_anti").persist()
         try:
-            # 3. idempotent per-batch overwrites: docs + both history slices
-            fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
-            write_history_bucketed(
-                minhash_band_buckets(
-                    fresh,
-                    id_col=id_col,
-                    text_col=text_col,
-                    num_hashes=num_hashes,
-                    bands=bands,
-                    shingle_k=shingle_k,
-                ).select("bucket", F.col("id").alias("doc_id")),
-                hist_tbl,
-                buckets_dir,
-                batch_id,
-                bucket_cols=("bucket",),
-                num_buckets=num_history_buckets,
-            )
-            fresh.select(
-                F.col(id_col).alias("doc_id"),
-                word_shingles_expr(text_col, shingle_k).alias("shingles"),
-            ).write.mode("overwrite").parquet(f"{shingles_dir}/batch_id={batch_id}")
+            # 2. cross-batch: candidates from the PRIOR bucket history
+            # (bucketed table — history side joins without an Exchange; see
+            # history.py), verified by exact jaccard vs stored shingle sets
+            fresh = survivors
+            hist_tbl = history_table_name(out_dir, "buckets")
+            prior = read_prior_history(spark, hist_tbl, buckets_dir, batch_id)
+            # the shingle slice is written in lockstep with the bucket
+            # table, so an empty prior-shingle listing means no PRIOR batch
+            # exists (e.g. a replay of the very first batch) — skip
+            prior_shingles = _prior_history_paths(spark, shingles_dir, batch_id)
+            if prior is not None and prior_shingles:
+                new_b = banded.join(
+                    survivors.select(id_col), id_col, "left_semi"
+                )
+                old_b = prior.select("bucket", F.col("doc_id").alias("_old_id"))
+                if max_bucket_df is not None:
+                    old_b = apply_df_cap(old_b, "bucket", max_bucket_df)
+                cand = (
+                    new_b.join(old_b, "bucket")
+                    .select(F.col(id_col).alias("_new_id"), "_old_id")
+                    .distinct()
+                )
+                new_sh = sh.select(
+                    F.col(id_col).alias("_new_id"), F.col("shingles").alias("sh_a")
+                )
+                old_sh = spark.read.parquet(*prior_shingles).select(
+                    F.col("doc_id").alias("_old_id"), F.col("shingles").alias("sh_b")
+                )
+                dup_new = (
+                    cand.join(new_sh, "_new_id")
+                    .join(old_sh, "_old_id")
+                    .withColumn("_sim", sim)
+                    .filter(F.col("_sim") >= F.lit(float(threshold)))
+                    .select(F.col("_new_id").alias(id_col))
+                    .distinct()
+                )
+                fresh = survivors.join(dup_new, id_col, "left_anti")
+            fresh = fresh.persist()
+            try:
+                # 3. idempotent per-batch overwrites: docs + history slices
+                # (history = the KEPT docs' slices of the shared frames)
+                fresh.write.mode("overwrite").parquet(
+                    f"{docs_dir}/batch_id={batch_id}"
+                )
+                fresh_ids = fresh.select(id_col)
+                write_history_bucketed(
+                    banded.join(fresh_ids, id_col, "left_semi").select(
+                        "bucket", F.col(id_col).alias("doc_id")
+                    ),
+                    hist_tbl,
+                    buckets_dir,
+                    batch_id,
+                    bucket_cols=("bucket",),
+                    num_buckets=num_history_buckets,
+                )
+                sh.join(fresh_ids, id_col, "left_semi").select(
+                    F.col(id_col).alias("doc_id"), "shingles"
+                ).write.mode("overwrite").parquet(
+                    f"{shingles_dir}/batch_id={batch_id}"
+                )
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            survivors.unpersist()
     finally:
-        survivors.unpersist()
+        banded.unpersist()
+        sh.unpersist()
 
 
 def incremental_neardup_dedup(
