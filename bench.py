@@ -288,6 +288,49 @@ def bench_incremental_neardup(spark, sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_incremental_embed_neardup(spark, sf_dir: str):
+    """Streaming embedding near-dup fixed workload: the embeddings table
+    (plus perturbed twins, so cross-batch drops actually occur) split into
+    4 micro-batches through embed_neardup_batch — hyperplane-LSH candidate
+    generation vs the bucketed history table + exact-cosine verify."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # +1_000_001 (odd offset): a twin lands in the NEXT batch's residue
+    # class, so drops exercise the cross-batch history join, not just
+    # intra-batch candidates
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_001).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x + float(0.001) as float))").alias(
+            "embedding"
+        ),
+    )
+    u = emb.unionByName(pert)
+    out = tempfile.mkdtemp(prefix="linkorgs_bench_embnd_")
+    try:
+        for b in range(4):
+            embed_neardup_batch(
+                u.filter(F.col("vec_id") % 4 == b), b, out, dim=64, threshold=0.99
+            )
+        return spark.read.parquet(f"{out}/docs").count()
+    finally:
+        try:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {history_table_name(out, 'embuckets')}"
+            )
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_lineitem_agg(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -313,6 +356,7 @@ QUERIES = {
     "doc_stats": bench_doc_stats,
     "dup_spans": bench_dup_spans,
     "incremental_neardup": bench_incremental_neardup,
+    "incremental_embed_neardup": bench_incremental_embed_neardup,
     "lineitem_agg": bench_lineitem_agg,
     "f1_gate": bench_f1_gate,
 }

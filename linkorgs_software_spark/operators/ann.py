@@ -64,17 +64,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def _sign_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Sign-bit bucket id from literal hyperplanes — pure Catalyst."""
-    bucket = F.lit(0).cast("long")
+    """Sign-bit bucket id from literal hyperplanes — pure Catalyst.
+
+    Generated as ONE SQL text expression (a single py4j call): the
+    Column-algebra form costs a py4j round trip per literal weight and per
+    lambda node — measured ~4 s of pure DRIVER time per ``lsh_buckets``
+    call at 4 tables x 8 planes x 64 dims, which dominated small-batch
+    streaming latency. The arithmetic is identical (products then a
+    sequential left fold per plane), so bucket ids are unchanged.
+    """
+    parts = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(w)) for w in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(repr(float(w)) + "D" for w in plane) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, w) -> cast(x as double) * w), 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(dot > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
-    return bucket
+        parts.append(f"(case when {dot} > 0 then {2 ** i}L else 0L end)")
+    return F.expr("(" + " + ".join(parts) + ")")
 
 
 def probe_buckets_expr(bucket_col: str, *, n_planes: int, multiprobe: int) -> F.Column:
@@ -217,24 +224,26 @@ def kmeans_cosine(X: np.ndarray, nlist: int, seed: int, *, iters: int = 10) -> n
 
 
 def _centroid_sims_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
-    """array of cosine sims to each literal centroid — pure Catalyst."""
+    """array of cosine sims to each literal centroid — pure Catalyst.
+
+    ONE generated SQL text expression (see ``_sign_bucket_expr`` on why:
+    Column-algebra literal/lambda construction is a py4j round trip per
+    node). Arithmetic identical to the previous Column form — products
+    then a sequential left fold — which the ``ivf_balance`` oracle mirrors
+    with ``list_reduce``."""
+    nrm = (
+        f"sqrt(aggregate(`{vec_col}`, 0.0D, "
+        f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
     sims = []
     for c in centroids:
-        lit_c = F.array(*[F.lit(float(w)) for w in c])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_c, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(repr(float(w)) + "D" for w in c) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            f"(x, w) -> cast(x as double) * w), 0.0D, (acc, v) -> acc + v)"
         )
-        nrm = F.sqrt(
-            F.aggregate(
-                F.col(vec_col),
-                F.lit(0.0),
-                lambda acc, v: acc + v.cast("double") * v.cast("double"),
-            )
-        )
-        sims.append(F.when(nrm == 0, F.lit(-2.0)).otherwise(dot / nrm))
-    return F.array(*sims)
+        sims.append(f"(case when {nrm} = 0 then -2.0D else {dot} / {nrm} end)")
+    return F.expr("array(" + ", ".join(sims) + ")")
 
 
 def ivf_assign(df: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding") -> DataFrame:
