@@ -425,6 +425,16 @@ def _q_doc_stats(spark, sf_dir):
     )
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """One-row corpus sizing profile (docs, distinct texts, exact-dup rate,
+    token totals, exact rank-statistic median) — the measurement a pipeline
+    owner reads before committing to a dedup/cleaning run."""
+    from linkorgs_software_spark.operators.corpus import corpus_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_profile(docs)
+
+
 def _q_corpus_clean(spark, sf_dir):
     """Pretraining-corpus filter chain: per-doc keep/reason verdicts
     (length, punct noise, quality, language, exact-dup) in one pass."""
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alias_bridge": _q_alias_bridge,
         "connected_components": _q_connected_components,
         "doc_stats": _q_doc_stats,
+        "corpus_profile": _q_corpus_profile,
         "corpus_clean": _q_corpus_clean,
         "doc_split": _q_doc_split,
         "exact_dup": _q_exact_dup,
@@ -971,6 +982,22 @@ select doc_id,
   {lang_case} as lang_pred,
   {fp} as fingerprint
 from documents
+""",
+        "corpus_profile": f"""
+with t as (select md5(text) as h, {n_tok} as nt from documents),
+agg as (select count(*) as n_docs, count(distinct h) as n_distinct_texts,
+        sum(nt)::bigint as total_tokens, max(nt)::bigint as max_tokens,
+        count(*) filter (nt = 0) as n_empty from t),
+med as (select max(nt)::bigint as m from (
+  select nt, row_number() over (order by nt asc) as rn from t)
+  where rn <= (select (n_docs + 1) // 2 from agg))
+select n_docs, n_distinct_texts,
+  round(1.0 - n_distinct_texts::double / n_docs::double, 6) as exact_dup_rate,
+  total_tokens,
+  round(total_tokens::double / n_docs::double, 6) as avg_tokens,
+  (select m from med) as median_tokens,
+  max_tokens, n_empty
+from agg
 """,
         "corpus_clean": f"""
 with flags as (

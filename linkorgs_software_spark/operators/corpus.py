@@ -565,6 +565,75 @@ def near_dup_groups(
     )
 
 
+def corpus_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus profile — the sizing measurement a pipeline owner
+    reads BEFORE committing to a dedup/cleaning run: ``(n_docs,
+    n_distinct_texts, exact_dup_rate, total_tokens, avg_tokens,
+    median_tokens, max_tokens, n_empty)``.
+
+    Scale shape: one scan computing per-doc token counts + a content hash,
+    then a single global aggregate (map-side partial); the median is the
+    exact rank statistic (⌈n/2⌉-th smallest) via a distributed
+    sort+limit — the same rank-quantile device calibration uses, so the
+    value is deterministic and SQL-portable (no approx sketch). All ratios
+    are round(·, 6) integer-ratio doubles for oracle bit-parity.
+    """
+    from ..functions.text import token_count_expr
+
+    d = df.select(
+        F.md5(F.col(text_col)).alias("_h"),
+        token_count_expr(text_col).cast("long").alias("_nt"),
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    d = register_cache(d)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_h").alias("n_distinct_texts"),
+        F.sum("_nt").alias("total_tokens"),
+        F.max("_nt").alias("max_tokens"),
+        F.count(F.when(F.col("_nt") == 0, 1)).alias("n_empty"),
+    )
+    row = agg.collect()[0]
+    n = row["n_docs"]
+    if n == 0:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(0, 0, 0.0, 0, 0.0, 0, 0, 0)],
+            "n_docs long, n_distinct_texts long, exact_dup_rate double, "
+            "total_tokens long, avg_tokens double, median_tokens long, "
+            "max_tokens long, n_empty long",
+        )
+    k = (n + 1) // 2  # ⌈n/2⌉-th smallest = lower median (rank statistic)
+    med = (
+        d.orderBy(F.col("_nt").asc())
+        .limit(k)
+        .agg(F.max("_nt").alias("m"))
+        .collect()[0]["m"]
+    )
+    # ratios rounded ENGINE-side (Spark round == SQL round, half away from
+    # zero; Python's round is banker's and would flap oracle ties)
+    return agg.select(
+        F.col("n_docs"),
+        F.col("n_distinct_texts"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+        F.col("total_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_tokens"),
+        F.lit(int(med)).cast("long").alias("median_tokens"),
+        F.col("max_tokens"),
+        F.col("n_empty"),
+    )
+
+
 CLEAN_RULES = ("too_short", "too_puncty", "low_quality", "wrong_lang", "duplicate")
 
 

@@ -593,3 +593,33 @@ def test_ivf_balance_flags_skewed_quantizer(spark):
     even = ivf_balance(even_corpus, nlist=3, seed=11, centroids=C).collect()[0]
     assert even.n_lists_nonempty == 3
     assert even.max_over_avg < 1.3
+
+
+def test_corpus_profile_values(spark):
+    """The one-row sizing profile: exact dup rate, token stats, and the
+    rank-statistic median, on a corpus with known composition."""
+    from linkorgs_software_spark.operators.corpus import corpus_profile
+
+    rows = [
+        (1, "a b c"),          # 3 tokens
+        (2, "a b c"),          # exact dup of 1
+        (3, "one two"),        # 2 tokens
+        (4, ""),               # empty
+        (5, "x y z w v"),      # 5 tokens
+    ]
+    p = corpus_profile(spark.createDataFrame(rows, "doc_id long, text string")).collect()[0]
+    assert p.n_docs == 5 and p.n_distinct_texts == 4
+    assert p.exact_dup_rate == pytest.approx(1 - 4 / 5, abs=1e-9)
+    assert p.total_tokens == 13 and p.max_tokens == 5 and p.n_empty == 1
+    # sorted counts [0,2,3,3,5]; ceil(5/2)=3rd smallest = 3
+    assert p.median_tokens == 3
+    assert p.avg_tokens == pytest.approx(13 / 5, abs=1e-9)
+
+
+def test_corpus_profile_empty_corpus(spark):
+    from linkorgs_software_spark.operators.corpus import corpus_profile
+
+    p = corpus_profile(
+        spark.createDataFrame([], "doc_id long, text string")
+    ).collect()[0]
+    assert p.n_docs == 0 and p.median_tokens == 0 and p.exact_dup_rate == 0.0
