@@ -577,11 +577,15 @@ def corpus_profile(
     median_tokens, max_tokens, n_empty)``.
 
     Scale shape: one scan computing per-doc token counts + a content hash,
-    then a single global aggregate (map-side partial); the median is the
-    exact rank statistic (⌈n/2⌉-th smallest) via a distributed
-    sort+limit — the same rank-quantile device calibration uses, so the
-    value is deterministic and SQL-portable (no approx sketch). All ratios
-    are round(·, 6) integer-ratio doubles for oracle bit-parity.
+    then a single global aggregate (map-side partial). The median is the
+    exact rank statistic (⌈n/2⌉-th smallest) read off a FREQUENCY
+    HISTOGRAM of token counts: distinct token-count VALUES are bounded by
+    the longest document, not the corpus, so the groupBy collapses 10¹¹
+    docs to a few thousand (value, count) rows and the driver cumulates
+    those — unlike a ``sort+limit(n/2)`` rank pick, which would funnel
+    half the corpus through the final top-k merge. Deterministic and
+    SQL-portable (no approx sketch); all ratios are round(·, 6)
+    integer-ratio doubles for oracle bit-parity.
     """
     from ..functions.text import token_count_expr
 
@@ -608,12 +612,16 @@ def corpus_profile(
             "max_tokens long, n_empty long",
         )
     k = (n + 1) // 2  # ⌈n/2⌉-th smallest = lower median (rank statistic)
-    med = (
-        d.orderBy(F.col("_nt").asc())
-        .limit(k)
-        .agg(F.max("_nt").alias("m"))
-        .collect()[0]["m"]
+    hist = (
+        d.groupBy("_nt").agg(F.count(F.lit(1)).alias("_c")).orderBy("_nt").collect()
     )
+    cum = 0
+    med = hist[-1]["_nt"]
+    for r in hist:
+        cum += r["_c"]
+        if cum >= k:
+            med = r["_nt"]
+            break
     # ratios rounded ENGINE-side (Spark round == SQL round, half away from
     # zero; Python's round is banker's and would flap oracle ties)
     return agg.select(
