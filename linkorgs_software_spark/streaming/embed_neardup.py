@@ -166,10 +166,12 @@ def _embed_neardup_batch_inner(
         fresh = fresh.persist()
         try:
             fresh.write.mode("overwrite").parquet(f"{docs_dir}/batch_id={batch_id}")
+            # history = the kept rows' slice of the ALREADY-computed batch
+            # bucket frame (persisted new_b) — no second lsh_buckets pass
             write_history_bucketed(
-                lsh_buckets(fresh.select(F.col(id_col), F.col(vec_col)), **lsh_kw).select(
-                    "table_id", "bucket", F.col(id_col).alias("vec_id")
-                ),
+                new_b.join(
+                    fresh.select(F.col(id_col).alias("_id")), "_id", "left_semi"
+                ).select("table_id", "bucket", F.col("_id").alias("vec_id")),
                 hist_tbl,
                 buckets_dir,
                 batch_id,
