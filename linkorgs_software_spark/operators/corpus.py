@@ -413,14 +413,47 @@ def simhash_expr(text_col, *, bits: int = SIMHASH_BITS):
     plain signed long in both Spark and the DuckDB oracle — neither engine
     accepts a ``1 << 63`` literal.
 
-    Pure Catalyst: explode-free (aggregate over the token array).
+    Pure Catalyst, explode-free (aggregate over the token array). For a
+    string column name the expression is GENERATED AS ONE SQL TEXT (single
+    py4j call — the Column-algebra form costs a round trip per node,
+    measured ~2 s of driver time per call at 64 bits; see
+    ``ann._sign_bucket_expr`` for the same fix); a Column input falls back
+    to the identical Column-algebra formulation.
     """
+    assert 1 <= bits <= 64
+    if not isinstance(text_col, str):
+        return _simhash_expr_col(text_col, bits=bits)
+    c = f"lower(`{text_col}`)"
+    toks = (
+        f"case when length(trim({c})) = 0 then array() "
+        f"else split(trim({c}), '\\\\s+') end"
+    )
+    contrib = "array(" + ",".join(
+        f"cast(((shiftright(cast(conv(substring(h, {(j % 32) + 1}, 1), 16, 10) "
+        f"as bigint), {j // 32}) % 2) * 2 - 1) as bigint)"
+        for j in range(bits)
+    ) + ")"
+    zero = "array(" + ",".join("0L" for _ in range(bits)) + ")"
+    sums = (
+        f"aggregate(transform({toks}, t -> md5(t)), {zero}, "
+        f"(acc, h) -> zip_with(acc, {contrib}, (a, b) -> a + b))"
+    )
+    terms = []
+    for j in range(bits):
+        w = "(-9223372036854775807L - 1L)" if j == 63 else f"{2 ** j}L"
+        terms.append(f"(case when element_at(s, {j + 1}) > 0 then {w} else 0L end)")
+    # bind the sums array once via a transform-over-singleton so the big
+    # aggregate is not repeated per bit term
+    return F.expr(
+        f"element_at(transform(array({sums}), s -> (" + " + ".join(terms) + ")), 1)"
+    )
+
+
+def _simhash_expr_col(text_col, *, bits: int):
+    """Column-algebra formulation (the textual generator's reference)."""
     from ..functions.text import tokens_expr
 
-    assert 1 <= bits <= 64
-    toks = tokens_expr(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
-    # md5 once per token; each token contributes a ±1 vector over the bit
-    # positions, summed with a single array-accumulator aggregate.
+    toks = tokens_expr(F.lower(text_col))
     hashes = F.transform(toks, lambda t: F.md5(t))
     zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
