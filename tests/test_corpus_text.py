@@ -623,3 +623,76 @@ def test_corpus_profile_empty_corpus(spark):
         spark.createDataFrame([], "doc_id long, text string")
     ).collect()[0]
     assert p.n_docs == 0 and p.median_tokens == 0 and p.exact_dup_rate == 0.0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12), min_size=1, max_size=6
+)
+_span_strategy = st.lists(
+    st.tuples(st.sampled_from(_VOCAB), st.sampled_from(_VOCAB), st.sampled_from(_VOCAB)),
+    min_size=0,
+    max_size=4,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_doc_strategy, _span_strategy)
+def test_strip_boilerplate_matches_python_reference(spark, docs_toks, span_tuples):
+    """Property: covered-token removal over arbitrary small corpora and
+    span lists matches a pure-Python reference implementation (overlap
+    unioning, boundary windows, empty docs, spans absent from the corpus)."""
+    from linkorgs_software_spark.operators.corpus import strip_boilerplate_spans
+
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    spans = {" ".join(t) for t in span_tuples}
+
+    def ref(toks):
+        covered = set()
+        for s in range(len(toks) - k + 1):
+            if " ".join(toks[s : s + k]) in spans:
+                covered.update(range(s, s + k))
+        return " ".join(t for j, t in enumerate(toks) if j not in covered)
+
+    expect = {i: ref(toks) for i, toks in enumerate(docs_toks)}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    span_df = spark.createDataFrame([(s,) for s in spans] or [(None,)], "span string").filter(
+        "span is not null"
+    )
+    got = {
+        r.doc_id: r.text_clean
+        for r in strip_boilerplate_spans(df, span_df, k=k).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=2),
+)
+def test_probe_buckets_expr_is_exact_hamming_ball(spark, bucket, mp):
+    """Property: the probe array for a bucket id is EXACTLY the hamming
+    ball of radius ``multiprobe`` over ``n_planes`` sign bits — no missing
+    neighbor (recall) and no extra bucket (cost)."""
+    from linkorgs_software_spark.operators.ann import probe_buckets_expr
+
+    n_planes = 8
+    df = spark.createDataFrame([(bucket,)], "bucket long")
+    got = sorted(
+        df.select(
+            probe_buckets_expr("bucket", n_planes=n_planes, multiprobe=mp).alias("p")
+        ).first()["p"]
+    )
+    expect = sorted(
+        {
+            bucket ^ m
+            for m in range(2**n_planes)
+            if bin(m).count("1") <= mp
+        }
+    )
+    assert got == expect
