@@ -727,6 +727,15 @@ def _q_dup_spans(spark, sf_dir):
     return duplicated_spans(docs, k=8)
 
 
+def _q_dup_span_runs(spark, sf_dir):
+    """Maximal duplicated passages (consecutive duplicated length-8 windows
+    merged into runs) — the actionable substring-dedup extent per doc."""
+    from linkorgs_software_spark.operators.corpus import duplicated_span_runs
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicated_span_runs(docs, k=8)
+
+
 def _q_top_spans(spark, sf_dir):
     """The boilerplate triage report: the 20 most widely repeated length-8
     token windows across the corpus (deterministic tie ordering)."""
@@ -863,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_l2_linkage": _q_embed_l2_linkage,
         "blocking_quality": _q_blocking_quality,
         "dup_spans": _q_dup_spans,
+        "dup_span_runs": _q_dup_span_runs,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1281,6 +1291,22 @@ select d.doc_id,
         then pd.n_dup_spans::double / pd.n_spans else 0.0 end, 6)
     as dup_span_frac
 from documents d left join pd using (doc_id)
+""",
+        "dup_span_runs": f"""
+with t as (select doc_id, {toks} as toks from documents),
+ex as (select doc_id, i as pos,
+         md5(array_to_string(toks[i:i+7], ' ')) as span
+       from t, unnest(case when len(toks) >= 8
+                      then range(1, len(toks) - 8 + 2)
+                      else []::bigint[] end) as u(i)),
+sd as (select span from ex group by span having count(distinct doc_id) >= 2),
+dp as (select doc_id, pos from ex where span in (select span from sd)),
+runs as (select doc_id, pos,
+           pos - row_number() over (partition by doc_id order by pos) as grp
+         from dp)
+select doc_id, min(pos)::bigint as start_pos, max(pos)::bigint as end_pos,
+  (max(pos) - min(pos) + 8)::bigint as n_tokens
+from runs group by doc_id, grp
 """,
         "top_spans": f"""
 with t as (select doc_id, {toks} as toks from documents),

@@ -134,6 +134,73 @@ def duplicated_spans(
     )
 
 
+def duplicated_span_runs(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated passages per doc: ``(doc_id, start_pos, end_pos,
+    n_tokens)`` — each row a maximal run of consecutive duplicated
+    length-``k`` token windows, covering tokens ``start_pos`` ..
+    ``start_pos + n_tokens - 1`` (1-based).
+
+    ``duplicated_spans`` counts the memorization signal; this is its
+    ACTIONABLE form (the substring-dedup idea from
+    "Deduplicating Training Data Makes Language Models Better"): a
+    duplicated passage of any length ≥ k appears as a chain of overlapping
+    duplicated windows, and merging consecutive duplicated window starts
+    recovers the passage's exact extent — so a pipeline can cut the
+    duplicated PASSAGE instead of dropping (or keeping) the whole doc.
+
+    Scale shape: the span-frequency side is COUNTED (one shuffle, df-style
+    — a viral passage costs one count, never a pair join); run merging is
+    the classic ``pos − row_number`` constant-group trick inside a per-doc
+    window over only the DUPLICATED positions (a small fraction of tokens
+    in a healthy corpus).
+    """
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    spans_expr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = register_cache(
+        df.select(F.col(id_col).alias("_id"), F.posexplode(spans_expr).alias("_p0", "span"))
+        .withColumn("pos", F.col("_p0") + 1)
+        .drop("_p0")
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    span_docs = (
+        ex.groupBy("span")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    dup_pos = ex.join(span_docs, "span", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("end_pos"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("end_pos").cast("long").alias("end_pos"),
+            (F.col("end_pos") - F.col("start_pos") + F.lit(k)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
 def top_boilerplate_spans(
     df: DataFrame,
     *,

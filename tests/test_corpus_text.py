@@ -696,3 +696,34 @@ def test_probe_buckets_expr_is_exact_hamming_ball(spark, bucket, mp):
         }
     )
     assert got == expect
+
+
+def test_duplicated_span_runs_merge_maximal_passages(spark):
+    """Overlapping duplicated windows merge into ONE maximal run covering
+    the exact shared passage; distinct passages in one doc stay separate
+    runs; docs without duplication produce no rows."""
+    from linkorgs_software_spark.operators.corpus import duplicated_span_runs
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    other = "red orange yellow green blue indigo violet umbra"   # 8 tokens
+    rows = [
+        (1, shared + " filler aa bb cc dd ee ff gg " + other),
+        (2, shared),
+        (3, "prefix words " + other),
+        (4, "completely unique text with no repeated passages anywhere at all"),
+    ]
+    out = duplicated_span_runs(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=8
+    )
+    runs = {}
+    for r in out.collect():
+        runs.setdefault(r.doc_id, []).append((r.start_pos, r.end_pos, r.n_tokens))
+    for v in runs.values():
+        v.sort()
+    # doc 1: the 10-token shared passage = windows at pos 1..3 -> one run
+    # of 10 tokens; the 8-token passage at the tail (tokens 19..26 of 26,
+    # window start 19) -> one run of 8 tokens
+    assert runs[1] == [(1, 3, 10), (19, 19, 8)]
+    assert runs[2] == [(1, 3, 10)]
+    assert runs[3] == [(3, 3, 8)]
+    assert 4 not in runs
