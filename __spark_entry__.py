@@ -736,6 +736,15 @@ def _q_dup_span_runs(spark, sf_dir):
     return duplicated_span_runs(docs, k=8)
 
 
+def _q_dedup_passages(spark, sf_dir):
+    """Keep-one-occurrence passage dedup: every maximal duplicated run is
+    removed from all but its canonical (min doc_id per head-window) copy."""
+    from linkorgs_software_spark.operators.corpus import dedup_passages
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_passages(docs, k=8)
+
+
 def _q_top_spans(spark, sf_dir):
     """The boilerplate triage report: the 20 most widely repeated length-8
     token windows across the corpus (deterministic tie ordering)."""
@@ -873,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": _q_blocking_quality,
         "dup_spans": _q_dup_spans,
         "dup_span_runs": _q_dup_span_runs,
+        "dedup_passages": _q_dedup_passages,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1308,6 +1318,38 @@ select doc_id, min(pos)::bigint as start_pos, max(pos)::bigint as end_pos,
   (max(pos) - min(pos) + 8)::bigint as n_tokens
 from runs group by doc_id, grp
 """,
+        "dedup_passages": f"""
+with t as (select doc_id, {toks} as toks from documents),
+ex as (select doc_id, i as pos,
+         md5(array_to_string(toks[i:i+7], ' ')) as span
+       from t, unnest(case when len(toks) >= 8
+                      then range(1, len(toks) - 8 + 2)
+                      else []::bigint[] end) as u(i)),
+sd as (select span from ex group by span having count(distinct doc_id) >= 2),
+dp as (select doc_id, pos from ex where span in (select span from sd)),
+runs as (select doc_id, min(pos) as start_pos, max(pos) as end_pos from (
+    select doc_id, pos,
+           pos - row_number() over (partition by doc_id order by pos) as grp
+    from dp) group by doc_id, grp),
+head as (select r.doc_id, r.start_pos, r.end_pos,
+           md5(array_to_string(t.toks[r.start_pos:r.start_pos+7], ' ')) as head
+         from runs r join t using (doc_id)),
+keeper as (select head, min(doc_id) as keep_id from head group by 1),
+cuts as (select h.doc_id,
+           list(struct_pack(s := h.start_pos, e := h.end_pos)) as cl
+         from head h join keeper kp using (head)
+         where h.doc_id != kp.keep_id group by 1),
+d as (select t.doc_id, t.toks,
+        coalesce(c.cl, []::struct(s bigint, e bigint)[]) as cl
+      from t left join cuts c using (doc_id)),
+kk as (select doc_id, toks,
+         list_filter(toks, (tok, i) ->
+           not len(list_filter(cl, c -> c.s <= i and i < c.e + 8)) > 0) as kept
+       from d)
+select doc_id, coalesce(array_to_string(kept, ' '), '') as text_clean,
+  len(toks)::bigint as n_tokens, (len(toks) - len(kept))::bigint as n_removed
+from kk
+""",
         "top_spans": f"""
 with t as (select doc_id, {toks} as toks from documents),
 sp as (select doc_id, unnest(
@@ -1343,7 +1385,7 @@ k as (select doc_id, toks, starts,
     not len(list_filter(starts, st -> st <= i and i < st + 8)) > 0) as kept
   from s)
 select doc_id,
-  array_to_string(kept, ' ') as text_clean,
+  coalesce(array_to_string(kept, ' '), '') as text_clean,
   len(toks)::bigint as n_tokens,
   (len(toks) - len(kept))::bigint as n_removed
 from k

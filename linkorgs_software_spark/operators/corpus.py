@@ -201,6 +201,77 @@ def duplicated_span_runs(
     )
 
 
+def dedup_passages(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Passage-level dedup: remove every maximal duplicated run's tokens
+    from all but ONE canonical copy. Returns ``(doc_id, text_clean,
+    n_tokens, n_removed)`` over the normalized token stream.
+
+    Policy (deterministic, no pair join): a run's identity is its HEAD
+    window (the span hash at ``start_pos``); the canonical copy is the
+    minimum ``doc_id`` among docs containing that head span. The canonical
+    doc keeps its passage; every other doc has the run's tokens
+    (``start_pos`` .. ``end_pos + k − 1``) removed. This is the
+    keep-one-occurrence substring dedup of Lee et al. re-expressed
+    relationally: detection is ``duplicated_span_runs`` (span frequencies
+    counted, never joined pairwise), canonical election is one min-
+    aggregate per head span, and removal is a per-doc array filter over
+    the collected (small) interval list.
+    """
+    from ..functions.text import tokens_expr
+
+    runs = duplicated_span_runs(
+        df, k=k, id_col=id_col, text_col=text_col, min_docs=min_docs
+    )
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    # head span of each run, recomputed from the doc's own tokens (cheap:
+    # one md5 per run row, positions join back by id)
+    head = runs.select(
+        F.col(id_col).alias("_id"), "start_pos", "end_pos"
+    ).join(base, "_id").select(
+        "_id",
+        "start_pos",
+        "end_pos",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start_pos").cast("int"), k))
+        ).alias("_head"),
+    )
+    keeper = head.groupBy("_head").agg(F.min("_id").alias("_keep_id"))
+    cut = (
+        head.join(keeper, "_head")
+        .filter(F.col("_id") != F.col("_keep_id"))
+        .groupBy("_id")
+        .agg(
+            F.collect_list(F.struct("start_pos", "end_pos")).alias("_cuts")
+        )
+    )
+    d = base.join(cut, "_id", "left").withColumn(
+        "_cuts", F.coalesce("_cuts", F.array().cast("array<struct<start_pos:long,end_pos:long>>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (c["start_pos"] <= i + 1)
+            & (i + 1 < c["end_pos"] + F.lit(k)),
+        ),
+    )
+    return d.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def top_boilerplate_spans(
     df: DataFrame,
     *,

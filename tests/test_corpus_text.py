@@ -727,3 +727,25 @@ def test_duplicated_span_runs_merge_maximal_passages(spark):
     assert runs[2] == [(1, 3, 10)]
     assert runs[3] == [(3, 3, 8)]
     assert 4 not in runs
+
+
+def test_dedup_passages_keeps_one_canonical_copy(spark):
+    """Keep-one-occurrence passage dedup: the minimum doc_id sharing a
+    run's head window keeps its passage; every other doc loses exactly the
+    run's tokens; unique docs untouched; a doc that IS entirely one
+    duplicated passage empties (text_clean='')."""
+    from linkorgs_software_spark.operators.corpus import dedup_passages
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " tail alpha"),
+        (2, "head words " + shared),
+        (5, shared),  # fully duplicated -> empties
+        (3, "unique text entirely different from all other documents here"),
+    ]
+    out = {r.doc_id: (r.text_clean, r.n_removed) for r in
+           dedup_passages(spark.createDataFrame(rows, "doc_id long, text string"), k=8).collect()}
+    assert out[1] == (shared + " tail alpha", 0)  # min id keeps its copy
+    assert out[2] == ("head words", 10)
+    assert out[5] == ("", 10)
+    assert out[3][1] == 0
