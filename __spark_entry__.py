@@ -212,11 +212,11 @@ nxc as (select count(*) as n from xr),
 nyc as (select count(*) as n from yr),
 xs_s as (select name_norm_x from xr
   where (select n from nxc) <= 1000
-     or ('0x' || substr(md5('42|' || name_norm_x), 1, 15))::bigint
+     or ('0x' || substr(md5('42' || coalesce(md5(name_norm_x), '-')), 1, 15))::bigint
         % greatest(2, ((select n from nxc) + 500) // 1000) = 0),
 ys_s as (select name_norm_y from yr
   where (select n from nyc) <= 1000
-     or ('0x' || substr(md5('43|' || name_norm_y), 1, 15))::bigint
+     or ('0x' || substr(md5('43' || coalesce(md5(name_norm_y), '-')), 1, 15))::bigint
         % greatest(2, ((select n from nyc) + 500) // 1000) = 0),
 cal_d as (select
     case when len({_bigram_sql('name_norm_x')}) + len({_bigram_sql('name_norm_y')})

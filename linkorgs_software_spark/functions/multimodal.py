@@ -171,6 +171,15 @@ def _parse_avi(payload: bytes):
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     info = {"w": None, "h": None, "bpp": None, "comp": None, "usec": 0}
+    # Streams are numbered by 'strl' order in hdrl, and movi chunk fccs
+    # carry that number as a two-digit prefix ('00db', '01dc', ...). The
+    # geometry (strf) and the frame chunks must come from the SAME stream —
+    # grabbing the first strf while collecting '##db'/'##dc' from every
+    # stream would decode a second stream's frames with the wrong stream's
+    # width/height/bpp (frombuffer count mismatches or garbage histograms).
+    # So: find the first 'vids' stream via strh, take ITS strf, and keep
+    # only frame chunks whose prefix matches its stream index.
+    state = {"strl": -1, "vid_strl": None, "in_vid_strl": False}
     frames: list[bytes] = []
 
     def walk(start: int, end: int) -> None:
@@ -180,14 +189,26 @@ def _parse_avi(payload: bytes):
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             data = pos + 8
             if fcc == b"LIST":
+                if payload[data : data + 4] == b"strl":
+                    state["strl"] += 1
+                    state["in_vid_strl"] = False
                 walk(data + 4, min(data + size, end))  # skip the list type fcc
             elif fcc == b"avih":
                 info["usec"] = struct.unpack_from("<I", payload, data)[0]
-            elif fcc == b"strf" and info["w"] is None:
-                _, w, h, _, bc, comp = struct.unpack_from("<IiiHHI", payload, data)
-                info.update(w=w, h=h, bpp=bc, comp=comp)
+            elif fcc == b"strh":
+                if payload[data : data + 4] == b"vids" and state["vid_strl"] is None:
+                    state["vid_strl"] = state["strl"]
+                    state["in_vid_strl"] = True
+            elif fcc == b"strf":
+                if state["in_vid_strl"] and info["w"] is None:
+                    _, w, h, _, bc, comp = struct.unpack_from("<IiiHHI", payload, data)
+                    info.update(w=w, h=h, bpp=bc, comp=comp)
             elif fcc[2:4] in (b"db", b"dc"):
-                frames.append(payload[data : data + size])
+                if (
+                    state["vid_strl"] is not None
+                    and fcc[:2] == b"%02d" % state["vid_strl"]
+                ):
+                    frames.append(payload[data : data + size])
             pos = data + size + (size & 1)  # RIFF chunks are word-aligned
 
     walk(12, len(payload))

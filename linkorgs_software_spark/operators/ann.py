@@ -30,6 +30,20 @@ from pyspark.sql import functions as F
 from ..functions.embedding import cosine_sim_expr
 
 
+def _check_finite_weights(arr: np.ndarray, what: str) -> None:
+    """Literal weights are emitted as SQL text (``repr(w) + 'D'``), and a
+    non-finite value would render as ``nanD``/``infD`` — invalid SQL that
+    fails much later with an obscure ParseException. NaNs get here when any
+    input embedding contains NaN (a k-means mean propagates it), so fail
+    fast with a clear message instead."""
+    if not np.isfinite(arr).all():
+        raise ValueError(
+            f"non-finite value in {what}: the input embeddings contain "
+            "NaN/Inf (k-means propagates them into centroids); sanitize the "
+            "vectors before training/bucketing"
+        )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,6 +87,7 @@ def _sign_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     streaming latency. The arithmetic is identical (products then a
     sequential left fold per plane), so bucket ids are unchanged.
     """
+    _check_finite_weights(np.asarray(planes, dtype=np.float64), "hyperplanes")
     parts = []
     for i, plane in enumerate(planes):
         arr = "array(" + ",".join(repr(float(w)) + "D" for w in plane) + ")"
@@ -231,6 +246,7 @@ def _centroid_sims_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
     node). Arithmetic identical to the previous Column form — products
     then a sequential left fold — which the ``ivf_balance`` oracle mirrors
     with ``list_reduce``."""
+    _check_finite_weights(np.asarray(centroids, dtype=np.float64), "centroids")
     nrm = (
         f"sqrt(aggregate(`{vec_col}`, 0.0D, "
         f"(acc, v) -> acc + cast(v as double) * cast(v as double)))"

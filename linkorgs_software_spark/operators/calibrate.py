@@ -44,6 +44,14 @@ def _seeded_sample(df: DataFrame, cap: int, seed: int, n: int | None = None) -> 
     what lets the CALIBRATED flagship query be value-hash-checked end to
     end. Frames carrying non-string columns (embedding calibration) keep
     the engine-native xxhash64.
+
+    The string encoding is COLLISION-RESISTANT: each column is mapped to
+    its fixed-width md5 hex (NULL -> '-', which no md5 can produce), then
+    the seed + per-column digests concatenate with no separator. A plain
+    ``concat_ws('|')`` would SKIP null columns and not escape '|' in
+    values — rows ('a|b','c') vs ('a','b|c'), or (NULL,'x') vs ('x',NULL),
+    would get perfectly correlated sample membership, skewing the
+    calibration sample non-uniformly.
     """
     from pyspark.sql.types import StringType
 
@@ -53,8 +61,9 @@ def _seeded_sample(df: DataFrame, cap: int, seed: int, n: int | None = None) -> 
     buckets = max(2, (n + cap // 2) // cap)  # integer half-up: SQL-portable
     cols = [F.col(c) for c in df.columns]
     if all(isinstance(f.dataType, StringType) for f in df.schema.fields):
+        enc = [F.coalesce(F.md5(c), F.lit("-")) for c in cols]
         h = F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), *cols)), 1, 15),
+            F.substring(F.md5(F.concat(F.lit(str(seed)), *enc)), 1, 15),
             16,
             10,
         ).cast("long")

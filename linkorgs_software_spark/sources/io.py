@@ -71,20 +71,17 @@ class StageCheckpointer:
         ``.rdd`` (an RDD conversion forces driver-side physical planning)."""
         path = self._path(name)
         if self.is_complete(name):
-            return self.spark.read.parquet(path)
+            # re-check min_files here too: a crash between the first write's
+            # _SUCCESS commit and the resplit swap below leaves a COMPLETE-
+            # looking checkpoint with too few files — without this check
+            # every later run would return the under-split stage forever,
+            # silently reintroducing the one-file-split serialization trap
+            # this mechanism exists to prevent
+            return self._ensure_min_files(path, min_files)
         t0 = time.time()
         df = build()
         df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        if min_files and len(out.inputFiles()) < min_files:
-            tmp = path + "__resplit"
-            out.repartition(min_files).write.mode("overwrite").parquet(tmp)
-            jvm = self.spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
-            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
-            out = self.spark.read.parquet(path)
+        out = self._ensure_min_files(path, min_files)
         # Per-partition lineage (north rule): one row count per output file,
         # derived in a single pass from input_file_name() — the parquet
         # stand-in for Iceberg's per-data-file manifest statistics. The same
@@ -108,6 +105,22 @@ class StageCheckpointer:
             f.write(json.dumps(rec) + "\n")
         return out
 
+    def _ensure_min_files(self, path: str, min_files: int) -> DataFrame:
+        """Read ``path`` back, re-splitting from the materialized parquet
+        when it landed as fewer than ``min_files`` files (tmp write + atomic
+        Hadoop-FS rename — never recomputes the build)."""
+        out = self.spark.read.parquet(path)
+        if min_files and len(out.inputFiles()) < min_files:
+            tmp = path + "__resplit"
+            out.repartition(min_files).write.mode("overwrite").parquet(tmp)
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+            out = self.spark.read.parquet(path)
+        return out
+
     def run_bucketed(
         self,
         name: str,
@@ -128,10 +141,16 @@ class StageCheckpointer:
         joins (score → dedup → fuse → back-merge) reuse one physical
         distribution instead of re-shuffling per stage.
         """
+        import hashlib as _hashlib
         import re as _re
 
-        suffix = _re.sub(r"\W+", "_", os.path.abspath(self.base_dir)).strip("_")
-        table = f"ckpt_{suffix}_{name}"
+        # sanitized path + md5 digest of the exact path: the \W+ sanitize is
+        # lossy (a-b and a_b collide), and two checkpointers on colliding
+        # base dirs must not silently share one catalog table
+        abspath = os.path.abspath(self.base_dir)
+        suffix = _re.sub(r"\W+", "_", abspath).strip("_")
+        digest = _hashlib.md5(abspath.encode("utf-8")).hexdigest()[:8]
+        table = f"ckpt_{suffix}_{digest}_{name}"
         if self.spark.catalog.tableExists(table):
             return self.spark.table(table)
         t0 = time.time()

@@ -30,6 +30,7 @@ yet" — same error contract as the exact-dedup history.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -39,9 +40,19 @@ from pyspark.sql import functions as F
 
 
 def history_table_name(out_dir: str, slice_name: str) -> str:
-    """Deterministic catalog name derived from the stream's output dir."""
-    suffix = re.sub(r"\W+", "_", os.path.abspath(out_dir)).strip("_")
-    return f"stream_hist_{suffix}_{slice_name}"
+    """Deterministic catalog name derived from the stream's output dir.
+
+    The readable suffix comes from ``re.sub(r'\\W+', '_')``, which is LOSSY
+    (``/data/a-b`` and ``/data/a_b`` both sanitize to ``data_a_b``), so an
+    md5 digest of the exact absolute path disambiguates: two streams with
+    colliding sanitized paths must NOT share one catalog table — the first
+    registration's LOCATION would win and the second stream's history reads
+    and writes would silently land in the first's directory (wrong
+    kept/dropped decisions with no error)."""
+    abspath = os.path.abspath(out_dir)
+    suffix = re.sub(r"\W+", "_", abspath).strip("_")
+    digest = hashlib.md5(abspath.encode("utf-8")).hexdigest()[:8]
+    return f"stream_hist_{suffix}_{digest}_{slice_name}"
 
 
 def _fs_and_path(spark: SparkSession, path: str):

@@ -121,3 +121,34 @@ def test_calibration_deterministic(spark, fixture_tables):
     xp = prepare_side(fixture_tables["org_x"], "name", "x_id", cfg)
     yp = prepare_side(fixture_tables["org_y"], "name", "y_id", cfg)
     assert calibrated_threshold(xp, yp, cfg) == calibrated_threshold(xp, yp, cfg)
+
+
+def test_seeded_sample_encoding_not_separator_sensitive(spark):
+    """Collision-resistance of the portable sample key: pipe-shifted twins
+    ('a|b','c') vs ('a','b|c') and null-shifted twins (NULL,'x') vs
+    ('x',NULL) must NOT get perfectly correlated sample membership — each
+    column is encoded as its fixed-width md5 ('-' for NULL) before the
+    outer hash, so no value content can alias the column boundary."""
+    from linkorgs_software_spark.operators.calibrate import _seeded_sample
+
+    rows = [("a|b", "c"), ("a", "b|c"), (None, "x"), ("x", None)] + [
+        (f"f{i}", f"g{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "u string, v string")
+
+    def membership(seed):
+        got = {
+            (r.u, r.v)
+            for r in _seeded_sample(df, 8, seed).collect()
+        }
+        return [
+            ("a|b", "c") in got,
+            ("a", "b|c") in got,
+            (None, "x") in got,
+            ("x", None) in got,
+        ]
+
+    ms = [membership(s) for s in range(40)]
+    # pipe twins and null twins each disagree for at least one seed
+    assert any(m[0] != m[1] for m in ms)
+    assert any(m[2] != m[3] for m in ms)

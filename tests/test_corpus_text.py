@@ -749,3 +749,22 @@ def test_dedup_passages_keeps_one_canonical_copy(spark):
     assert out[2] == ("head words", 10)
     assert out[5] == ("", 10)
     assert out[3][1] == 0
+
+
+def test_lsh_expr_generators_reject_non_finite_weights():
+    """Literal weights render into SQL text; NaN/Inf would produce 'nanD'
+    (an obscure ParseException much later). The generators must fail fast
+    with a clear error instead."""
+    import numpy as np
+    import pytest
+
+    from linkorgs_software_spark.operators.ann import (
+        _centroid_sims_expr,
+        _sign_bucket_expr,
+    )
+
+    bad = np.array([[0.5, float("nan")], [1.0, 2.0]])
+    with pytest.raises(ValueError, match="non-finite"):
+        _sign_bucket_expr("v", bad)
+    with pytest.raises(ValueError, match="non-finite"):
+        _centroid_sims_expr("v", np.array([[float("inf"), 1.0]]))

@@ -249,6 +249,58 @@ def test_real_avi_video_decode_runs_in_sandbox(spark):
     assert np.allclose(feats[1], mm._fake_decode_features(b"not a video"), atol=1e-6)
 
 
+def test_avi_second_stream_video_uses_matching_geometry():
+    """A two-stream AVI (audio stream 0, video stream 1) must decode the
+    VIDEO stream's frames with the VIDEO stream's strf geometry: frame
+    chunks are filtered by the stream-number prefix ('01db'), and an audio
+    data chunk ('00wb') or the audio strf must never be mistaken for video
+    (previously the first strf won and every '##db'/'##dc' chunk was
+    collected regardless of stream)."""
+    import struct
+
+    import numpy as np
+
+    import linkorgs_software_spark.functions.multimodal as mm
+
+    def chunk(fcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind, data):
+        return chunk(b"LIST", kind + data)
+
+    w, h, nch = 16, 8, 3
+    stride = ((w * nch + 3) // 4) * 4
+    frame_sz = stride * h
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 2, 0, 2, frame_sz, w, h, 0, 0, 0, 0)
+    strh_a = b"auds" + b"\x00" * 4 + b"\x00" * 48
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX
+    strh_v = b"vids" + b"DIB " + b"\x00" * 48
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+        + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)),
+    )
+    row = bytes([100] * (w * nch)) + b"\x00" * (stride - w * nch)
+    movi = lst(
+        b"movi",
+        chunk(b"00wb", b"\x01\x02" * 100)  # audio data: must be ignored
+        + chunk(b"01db", row * h)
+        + chunk(b"01db", row * h),
+    )
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pw, ph, bpp, usec, frames = mm._parse_avi(payload)
+    assert (pw, ph, bpp) == (w, h, 24)
+    assert len(frames) == 2 and all(len(f) == frame_sz for f in frames)
+    v = mm._avi_video_features(payload)
+    assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-6)
+    assert np.isclose(v.max(), 1.0, atol=1e-6)  # one flat gray level
+
+
 def test_frame_sample_then_decode_per_frame(spark):
     """frame_sample_plan -> extract_frame_features: each sampled timestamp
     decodes ITS OWN frame (10 fps, sampling every 100ms -> frame f at
