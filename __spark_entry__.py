@@ -1310,12 +1310,13 @@ ex as (select doc_id, i as pos,
                       then range(1, len(toks) - 8 + 2)
                       else []::bigint[] end) as u(i)),
 sd as (select span from ex group by span having count(distinct doc_id) >= 2),
-dp as (select doc_id, pos from ex where span in (select span from sd)),
-runs as (select doc_id, pos,
+dp as (select doc_id, pos, span from ex where span in (select span from sd)),
+runs as (select doc_id, pos, span,
            pos - row_number() over (partition by doc_id order by pos) as grp
          from dp)
 select doc_id, min(pos)::bigint as start_pos, max(pos)::bigint as end_pos,
-  (max(pos) - min(pos) + 8)::bigint as n_tokens
+  (max(pos) - min(pos) + 8)::bigint as n_tokens,
+  arg_min(span, pos) as head_span
 from runs group by doc_id, grp
 """,
         "dedup_passages": f"""
@@ -1326,14 +1327,12 @@ ex as (select doc_id, i as pos,
                       then range(1, len(toks) - 8 + 2)
                       else []::bigint[] end) as u(i)),
 sd as (select span from ex group by span having count(distinct doc_id) >= 2),
-dp as (select doc_id, pos from ex where span in (select span from sd)),
-runs as (select doc_id, min(pos) as start_pos, max(pos) as end_pos from (
-    select doc_id, pos,
+dp as (select doc_id, pos, span from ex where span in (select span from sd)),
+head as (select doc_id, min(pos) as start_pos, max(pos) as end_pos,
+           arg_min(span, pos) as head from (
+    select doc_id, pos, span,
            pos - row_number() over (partition by doc_id order by pos) as grp
     from dp) group by doc_id, grp),
-head as (select r.doc_id, r.start_pos, r.end_pos,
-           md5(array_to_string(t.toks[r.start_pos:r.start_pos+7], ' ')) as head
-         from runs r join t using (doc_id)),
 keeper as (select head, min(doc_id) as keep_id from head group by 1),
 cuts as (select h.doc_id,
            list(struct_pack(s := h.start_pos, e := h.end_pos)) as cl

@@ -143,9 +143,12 @@ def duplicated_span_runs(
     min_docs: int = 2,
 ) -> DataFrame:
     """MAXIMAL duplicated passages per doc: ``(doc_id, start_pos, end_pos,
-    n_tokens)`` — each row a maximal run of consecutive duplicated
-    length-``k`` token windows, covering tokens ``start_pos`` ..
-    ``start_pos + n_tokens - 1`` (1-based).
+    n_tokens, head_span)`` — each row a maximal run of consecutive
+    duplicated length-``k`` token windows, covering tokens ``start_pos`` ..
+    ``start_pos + n_tokens - 1`` (1-based). ``head_span`` is the md5 of the
+    run's FIRST window (the span hash at ``start_pos``) — the run's
+    identity, carried through so consumers (``dedup_passages``) can elect a
+    canonical copy per passage without re-tokenizing the corpus.
 
     ``duplicated_spans`` counts the memorization signal; this is its
     ACTIONABLE form (the substring-dedup idea from
@@ -184,12 +187,18 @@ def duplicated_span_runs(
         .filter(F.col("n_docs") >= min_docs)
         .select("span")
     )
-    dup_pos = ex.join(span_docs, "span", "left_semi").select("_id", "pos")
+    dup_pos = ex.join(span_docs, "span", "left_semi").select("_id", "pos", "span")
     w = Window.partitionBy("_id").orderBy("pos")
     runs = dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w))
     return (
         runs.groupBy("_id", "_grp")
-        .agg(F.min("pos").alias("start_pos"), F.max("pos").alias("end_pos"))
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            # the exploded span at the run's min pos — positions are unique
+            # within a (doc, run) group, so min_by is deterministic
+            F.min_by("span", "pos").alias("head_span"),
+        )
         .select(
             F.col("_id").alias(id_col),
             F.col("start_pos").cast("long").alias("start_pos"),
@@ -197,6 +206,7 @@ def duplicated_span_runs(
             (F.col("end_pos") - F.col("start_pos") + F.lit(k)).cast("long").alias(
                 "n_tokens"
             ),
+            "head_span",
         )
     )
 
@@ -214,15 +224,23 @@ def dedup_passages(
     n_tokens, n_removed)`` over the normalized token stream.
 
     Policy (deterministic, no pair join): a run's identity is its HEAD
-    window (the span hash at ``start_pos``); the canonical copy is the
-    minimum ``doc_id`` among docs containing that head span. The canonical
-    doc keeps its passage; every other doc has the run's tokens
-    (``start_pos`` .. ``end_pos + k − 1``) removed. This is the
-    keep-one-occurrence substring dedup of Lee et al. re-expressed
+    window (the span hash at ``start_pos``, carried out of
+    ``duplicated_span_runs`` as ``head_span`` — no re-tokenization pass);
+    the canonical copy is the minimum ``doc_id`` among docs containing that
+    head span. The canonical doc keeps its passage; every other doc has the
+    run's tokens (``start_pos`` .. ``end_pos + k − 1``) removed. This is
+    the keep-one-occurrence substring dedup of Lee et al. re-expressed
     relationally: detection is ``duplicated_span_runs`` (span frequencies
     counted, never joined pairwise), canonical election is one min-
     aggregate per head span, and removal is a per-doc array filter over
     the collected (small) interval list.
+
+    Plan shape: the detector already holds each run's head hash before it
+    aggregates, so consuming it here deletes a whole second tokenization of
+    the corpus AND the runs ⋈ tokens join that used to shuffle full token
+    arrays for every doc with a run (at web-corpus scale that join was the
+    plan's widest shuffle). The only tokens-materializing scan left is the
+    final per-doc filter, joined against the NARROW cut-interval frame.
     """
     from ..functions.text import tokens_expr
 
@@ -232,17 +250,11 @@ def dedup_passages(
     toks = tokens_expr(F.lower(F.col(text_col)))
     base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     n = F.size("_toks")
-    # head span of each run, recomputed from the doc's own tokens (cheap:
-    # one md5 per run row, positions join back by id)
     head = runs.select(
-        F.col(id_col).alias("_id"), "start_pos", "end_pos"
-    ).join(base, "_id").select(
-        "_id",
+        F.col(id_col).alias("_id"),
         "start_pos",
         "end_pos",
-        F.md5(
-            F.concat_ws(" ", F.slice(F.col("_toks"), F.col("start_pos").cast("int"), k))
-        ).alias("_head"),
+        F.col("head_span").alias("_head"),
     )
     keeper = head.groupBy("_head").agg(F.min("_id").alias("_keep_id"))
     cut = (
@@ -328,6 +340,7 @@ def strip_boilerplate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_col: str = "span",
+    max_spans: int = 10_000,
 ) -> DataFrame:
     """Remove every occurrence of the listed boilerplate spans from each
     document — the ACTION the ``top_boilerplate_spans`` triage list exists
@@ -345,9 +358,24 @@ def strip_boilerplate_spans(
     broadcast-cross-joined onto every doc; window membership, covered-start
     detection, and token filtering are all per-row Catalyst array lambdas.
     No per-doc re-join, no explode.
+
+    ``max_spans`` ENFORCES the tiny-span-list contract instead of trusting
+    it: the ``collect_set`` funnels the whole list through one reducer into
+    one broadcast row, so a caller who passes the full ``duplicated_spans``
+    vocabulary (hundreds of millions of rows at web scale) would OOM a
+    single task silently. The count check is one action on the (by
+    contract) tiny frame; oversize input fails fast with a clear error.
     """
     from ..functions.text import tokens_expr
 
+    n_spans = spans.count()
+    if n_spans > max_spans:
+        raise ValueError(
+            f"strip_boilerplate_spans got {n_spans} spans (> max_spans="
+            f"{max_spans}): the span list is broadcast as ONE array row and "
+            "must stay small — pass a top-N triage list "
+            "(top_boilerplate_spans), or raise max_spans deliberately"
+        )
     spans_arr = spans.agg(F.collect_set(span_col).alias("_span_set"))
     toks = tokens_expr(F.lower(F.col(text_col)))
     d = df.crossJoin(F.broadcast(spans_arr)).withColumn("_toks", toks)
@@ -752,11 +780,17 @@ def corpus_profile(
     exact rank statistic (⌈n/2⌉-th smallest) read off a FREQUENCY
     HISTOGRAM of token counts: distinct token-count VALUES are bounded by
     the longest document, not the corpus, so the groupBy collapses 10¹¹
-    docs to a few thousand (value, count) rows and the driver cumulates
-    those — unlike a ``sort+limit(n/2)`` rank pick, which would funnel
-    half the corpus through the final top-k merge. Deterministic and
-    SQL-portable (no approx sketch); all ratios are round(·, 6)
-    integer-ratio doubles for oracle bit-parity.
+    docs to a few thousand (value, count) rows — unlike a
+    ``sort+limit(n/2)`` rank pick, which would funnel half the corpus
+    through the final top-k merge. The cumulative walk over that histogram
+    stays DISTRIBUTED too: a window cumulative sum ordered by token count
+    picks the first row whose running count reaches ⌈n/2⌉, so the driver
+    collects exactly ONE scalar row — never the histogram (a corpus with
+    million-token docs would otherwise collect ~10⁶ rows). The
+    no-partition window is a deliberate single-task step over the TINY
+    histogram frame, not the corpus. Deterministic and SQL-portable (no
+    approx sketch); all ratios are round(·, 6) integer-ratio doubles for
+    oracle bit-parity.
     """
     from ..functions.text import token_count_expr
 
@@ -783,16 +817,14 @@ def corpus_profile(
             "max_tokens long, n_empty long",
         )
     k = (n + 1) // 2  # ⌈n/2⌉-th smallest = lower median (rank statistic)
-    hist = (
-        d.groupBy("_nt").agg(F.count(F.lit(1)).alias("_c")).orderBy("_nt").collect()
+    hist = d.groupBy("_nt").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_nt").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        hist.withColumn("_cum", F.sum("_c").over(wcum))
+        .filter(F.col("_cum") >= F.lit(k))
+        .agg(F.min("_nt").alias("m"))
+        .collect()[0]["m"]
     )
-    cum = 0
-    med = hist[-1]["_nt"]
-    for r in hist:
-        cum += r["_c"]
-        if cum >= k:
-            med = r["_nt"]
-            break
     # ratios rounded ENGINE-side (Spark round == SQL round, half away from
     # zero; Python's round is banker's and would flap oracle ties)
     return agg.select(

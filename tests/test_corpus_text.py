@@ -768,3 +768,23 @@ def test_lsh_expr_generators_reject_non_finite_weights():
         _sign_bucket_expr("v", bad)
     with pytest.raises(ValueError, match="non-finite"):
         _centroid_sims_expr("v", np.array([[float("inf"), 1.0]]))
+
+
+def test_strip_boilerplate_rejects_oversized_span_list(spark):
+    """The broadcast span set funnels through ONE reducer; an unbounded
+    list (e.g. the full duplicated_spans vocabulary) must fail fast with a
+    clear error instead of silently OOMing a single task."""
+    import pytest
+
+    from linkorgs_software_spark.operators.corpus import strip_boilerplate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    big = spark.range(0, 50).selectExpr("concat('span ', id) as span")
+    with pytest.raises(ValueError, match="max_spans"):
+        strip_boilerplate_spans(docs, big, k=8, max_spans=10)
+    # at or under the cap it runs
+    small = spark.range(0, 3).selectExpr("concat('span ', id) as span")
+    assert strip_boilerplate_spans(docs, small, k=8, max_spans=10).count() == 1

@@ -198,3 +198,33 @@ def test_exact_quantile_is_distributed_top_k(spark):
     import math
 
     assert q == values[max(1, math.ceil(50 / 10_000 * 10_000)) - 1]
+
+
+def test_dedup_passages_single_tokens_scan(spark, tmp_path):
+    """``dedup_passages`` must consume the detector's carried ``head_span``
+    instead of re-tokenizing: exactly TWO scans of the corpus remain (the
+    span detector's explode + the final per-doc token filter). The old
+    shape had a THIRD scan that re-tokenized every doc and joined full
+    token arrays onto the runs frame — the plan's widest shuffle at
+    corpus scale."""
+    from linkorgs_software_spark.operators.corpus import dedup_passages
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine ten") for i in range(4)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(dedup_passages(docs, k=8))
+    # exactly one operator materializes the token array outside the
+    # detector's posexplode generate (the final per-doc filter projection);
+    # the old head-recompute branch added a second one
+    tok_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "split(trim(lower" in ln and "posexplode" not in ln
+    ]
+    assert len(tok_lines) == 1, plan
+    # and no md5 re-hash outside the detector: head spans are CARRIED, not
+    # recomputed from a runs ⋈ tokens join
+    assert all("posexplode" in ln for ln in plan.splitlines() if "md5(" in ln), plan
