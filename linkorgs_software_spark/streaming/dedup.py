@@ -61,15 +61,30 @@ def dedup_batch(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ) -> None:
     """Process one micro-batch: intra-batch dedup, anti-join prior history,
     idempotent overwrite of this batch's docs + history slices.
 
     Public (not just a closure) so replay behaviour is directly testable.
+
+    ``compact_every`` folds committed hash-history partitions older than
+    this batch into one snapshot partition once that many accumulate
+    (``history.compact_plain_history``) — bounds directory/file count at
+    O(compact_every) over the stream's lifetime.
     """
     history_dir = os.path.join(out_dir, "history")
     docs_dir = os.path.join(out_dir, "docs")
     spark = batch_df.sparkSession
+    if compact_every is not None:
+        from .history import maybe_compact
+
+        maybe_compact(
+            spark,
+            watermark=batch_id,
+            every=compact_every,
+            plain_paths=(history_dir,),
+        )
     hashed = batch_df.withColumn("_h", F.md5(F.col(text_col)))
     # intra-batch: keep the min-id doc per hash
     w = Window.partitionBy("_h")
@@ -102,6 +117,7 @@ def incremental_exact_dedup(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
     available_now: bool = False,
 ):
     """Start a streaming query writing only never-seen-before documents.
@@ -111,7 +127,14 @@ def incremental_exact_dedup(
     """
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_batch(batch_df, batch_id, out_dir, id_col=id_col, text_col=text_col)
+        dedup_batch(
+            batch_df,
+            batch_id,
+            out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            compact_every=compact_every,
+        )
 
     writer = (
         docs_stream.writeStream.foreachBatch(_dedup_batch)

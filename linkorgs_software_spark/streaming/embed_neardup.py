@@ -33,10 +33,15 @@ from pyspark.sql import functions as F
 
 from ..cache import scoped_caches
 from ..functions.embedding import cosine_sim_expr
-from ..operators.ann import lsh_buckets
+from ..operators.ann import expand_probes, lsh_buckets
 from ..operators.blocking import apply_df_cap
 from .dedup import _prior_history_paths
-from .history import history_table_name, read_prior_history, write_history_bucketed
+from .history import (
+    history_table_name,
+    maybe_compact,
+    read_prior_history,
+    write_history_bucketed,
+)
 
 
 def embed_neardup_batch(
@@ -53,6 +58,8 @@ def embed_neardup_batch(
     seed: int = 42,
     max_bucket_df: int | None = 5000,
     num_history_buckets: int = 64,
+    multiprobe: int = 0,
+    compact_every: int | None = None,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
 
@@ -60,6 +67,20 @@ def embed_neardup_batch(
     operator-internal persist registered during the batch is released when
     the batch ends, so a long-running stream cannot accumulate pinned
     frames batch over batch.
+
+    ``multiprobe`` mirrors ``embedding_neardup_lsh(multiprobe=)``: > 0
+    additionally probes hamming-1 (or -2) neighbor buckets so moderately
+    similar vectors (cosine ~0.8, where exact-bucket recall sags) are
+    caught. Probes expand the MICRO-BATCH side only — the small side of
+    both joins, and expanding one side is also the correct side count-wise
+    (both sides would double-count hamming distance). Caps apply to exact
+    buckets before expansion, so a probe can never resurrect an over-cap
+    bucket.
+
+    ``compact_every`` folds committed history partitions older than this
+    batch into one snapshot partition once ``compact_every`` of them
+    accumulate — same lifecycle bound as the text sibling (file count,
+    MSCK recovery, and scan metadata stay O(compact_every)).
     """
     with scoped_caches():
         _embed_neardup_batch_inner(
@@ -75,6 +96,8 @@ def embed_neardup_batch(
             seed=seed,
             max_bucket_df=max_bucket_df,
             num_history_buckets=num_history_buckets,
+            multiprobe=multiprobe,
+            compact_every=compact_every,
         )
 
 
@@ -92,11 +115,21 @@ def _embed_neardup_batch_inner(
     seed: int,
     max_bucket_df: int | None,
     num_history_buckets: int,
+    multiprobe: int,
+    compact_every: int | None,
 ) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     emb_dir = os.path.join(out_dir, "history", "embeddings")
     docs_dir = os.path.join(out_dir, "docs")
     spark = batch_df.sparkSession
+    if compact_every is not None:
+        maybe_compact(
+            spark,
+            watermark=batch_id,
+            every=compact_every,
+            bucketed=(history_table_name(out_dir, "embuckets"), buckets_dir),
+            plain_paths=(emb_dir,),
+        )
     lsh_kw = dict(
         vec_col=vec_col, dim=dim, n_planes=n_planes, num_tables=num_tables, seed=seed
     )
@@ -105,9 +138,11 @@ def _embed_neardup_batch_inner(
         batch_df.select(F.col(id_col), F.col(vec_col)), **lsh_kw
     ).select(F.col(id_col).alias("_id"), "table_id", "bucket").persist()
     try:
-        # intra-batch: drop the larger id of every verified near-dup pair
+        # intra-batch: drop the larger id of every verified near-dup pair;
+        # probe expansion on ONE self-join side only (see docstring)
+        probed_in = expand_probes(new_b, n_planes=n_planes, multiprobe=multiprobe)
         cand_in = (
-            new_b.alias("a")
+            probed_in.alias("a")
             .join(new_b.alias("b"), ["table_id", "bucket"])
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("_id_a"), F.col("b._id").alias("_id_b"))
@@ -144,6 +179,9 @@ def _embed_neardup_batch_inner(
             surv_b = new_b.join(
                 survivors.select(F.col(id_col).alias("_id")), "_id", "left_semi"
             )
+            # probes expand the micro-batch side (small side); the history
+            # side stays exact buckets so its bucketed scan stays pruned
+            surv_b = expand_probes(surv_b, n_planes=n_planes, multiprobe=multiprobe)
             cand = (
                 surv_b.join(old_b, ["table_id", "bucket"])
                 .select(F.col("_id").alias("_new_id"), "_old_id")
@@ -201,6 +239,8 @@ def incremental_embed_neardup(
     seed: int = 42,
     max_bucket_df: int | None = 5000,
     num_history_buckets: int = 64,
+    multiprobe: int = 0,
+    compact_every: int | None = None,
     available_now: bool = False,
 ):
     """Start a streaming query keeping only vectors that are not cosine
@@ -221,6 +261,8 @@ def incremental_embed_neardup(
             seed=seed,
             max_bucket_df=max_bucket_df,
             num_history_buckets=num_history_buckets,
+            multiprobe=multiprobe,
+            compact_every=compact_every,
         )
 
     writer = (

@@ -155,6 +155,152 @@ def write_history_bucketed(
     )
 
 
+def list_batch_ids(spark: SparkSession, path: str) -> list[int]:
+    """Batch ids present as ``batch_id=N`` directories under ``path``
+    (negative ids are compaction snapshots). Missing dir => []."""
+    fs, hpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _fold_set(ids: list[int], watermark: int) -> tuple[list[int], int]:
+    """Partitions eligible for folding (all prior snapshots + real batches
+    strictly below ``watermark``) and the next snapshot id.
+
+    Snapshot ids are MONOTONE NEGATIVE (-1, -2, ...): each compaction
+    writes a brand-new snapshot partition and only then deletes what it
+    folded, so a crash at any point leaves at worst DUPLICATE history rows
+    (benign for dedup — candidate pairs are distinct'd and anti-joins are
+    membership tests), never missing history. A mutable single snapshot
+    dir would instead have a delete-then-rename window that silently LOSES
+    prior history."""
+    fold = [b for b in ids if b < 0 or b < watermark]
+    new_id = min([b for b in fold if b < 0], default=0) - 1
+    return fold, new_id
+
+
+def compact_plain_history(
+    spark: SparkSession, path: str, *, watermark: int
+) -> int | None:
+    """Fold a plain-parquet history's old ``batch_id`` partitions (prior
+    snapshots + real batches < ``watermark``) into one new snapshot
+    partition. Returns the new snapshot id, or None when there is nothing
+    to fold (<2 eligible partitions).
+
+    Replay safety: a replayed batch N excludes only ``batch_id == N``, and
+    only batches STRICTLY below the caller's watermark (committed batches
+    that can never replay — foreachBatch ids are monotone and only the last
+    uncommitted batch re-executes) are folded, so a snapshot can never
+    absorb a partition that a replay would need to exclude."""
+    ids = list_batch_ids(spark, path)
+    fold, new_id = _fold_set(ids, watermark)
+    if len(fold) <= 1:
+        return None
+    fs, _, jvm = _fs_and_path(spark, path)
+    dirs = [os.path.join(path, f"batch_id={b}") for b in fold]
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    # rename INTO the partition namespace only after the tmp write committed
+    fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"batch_id={new_id}")),
+    )
+    for d in dirs:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    return new_id
+
+
+def compact_bucketed_history(
+    spark: SparkSession, table: str, path: str, *, watermark: int
+) -> int | None:
+    """Fold the bucketed catalog history's old partitions into one new
+    snapshot partition with the SAME bucket spec (written through the
+    normal ``write_history_bucketed`` insert, so the Exchange-free history
+    join and ``MSCK`` recovery behave identically on compacted history —
+    recovery cost drops from O(batches) to O(compacted partitions)).
+
+    This is the parquet/metastore analogue of Iceberg's
+    ``rewrite_data_files``: without it a year-long stream accumulates
+    O(batches · num_buckets) files and every micro-batch's history scan
+    pays that metadata cost. Crash anywhere => at worst duplicate rows
+    (see ``_fold_set``), cleaned up by the next compaction."""
+    ids = list_batch_ids(spark, path)
+    fold, new_id = _fold_set(ids, watermark)
+    if len(fold) <= 1:
+        return None
+    if not _ensure_table(spark, table, path):
+        return None
+    spec = _read_spec(spark, path)
+    if spec is None:
+        return None
+    data_cols = [c for c, _ in spec["columns"]]
+    tmp = path.rstrip("/") + "__compact_tmp"
+    fs, _, jvm = _fs_and_path(spark, path)
+    try:
+        # materialize OUTSIDE the table location first: Spark refuses to
+        # overwrite a table it is simultaneously reading, and the tmp copy
+        # also makes the fold atomic-in-effect (insert only after commit)
+        (
+            spark.table(table)
+            .filter(F.col("batch_id").isin([int(b) for b in fold]))
+            .select(*data_cols)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        write_history_bucketed(
+            spark.read.parquet(tmp),
+            table,
+            path,
+            new_id,
+            bucket_cols=tuple(spec["bucket_cols"]),
+            num_buckets=int(spec["num_buckets"]),
+        )
+        for b in fold:
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (batch_id={int(b)})"
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(os.path.join(path, f"batch_id={b}")),
+                True,
+            )
+    finally:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return new_id
+
+
+def maybe_compact(
+    spark: SparkSession,
+    *,
+    watermark: int,
+    every: int,
+    bucketed: tuple[str, str] | None = None,
+    plain_paths: tuple[str, ...] = (),
+) -> bool:
+    """Compact when the number of real (non-snapshot) committed batch
+    partitions reaches ``every``. The trigger probe is one FS listing —
+    cheap enough to run at every micro-batch. ``bucketed`` is the
+    (table, path) of the catalog history; ``plain_paths`` are its lockstep
+    plain-parquet slices (shingles / embeddings / hash history)."""
+    probe = bucketed[1] if bucketed is not None else plain_paths[0]
+    olds = [b for b in list_batch_ids(spark, probe) if 0 <= b < watermark]
+    if len(olds) < every:
+        return False
+    if bucketed is not None:
+        compact_bucketed_history(spark, bucketed[0], bucketed[1], watermark=watermark)
+    for p in plain_paths:
+        compact_plain_history(spark, p, watermark=watermark)
+    return True
+
+
 def read_prior_history(
     spark: SparkSession, table: str, path: str, batch_id: int
 ) -> DataFrame | None:

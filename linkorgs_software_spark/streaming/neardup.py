@@ -55,7 +55,12 @@ from ..functions.text import word_shingles_expr
 from ..operators.blocking import apply_df_cap
 from ..operators.corpus import minhash_band_buckets
 from .dedup import _prior_history_paths
-from .history import history_table_name, read_prior_history, write_history_bucketed
+from .history import (
+    history_table_name,
+    maybe_compact,
+    read_prior_history,
+    write_history_bucketed,
+)
 
 
 def neardup_batch(
@@ -71,6 +76,7 @@ def neardup_batch(
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
     num_history_buckets: int = 64,
+    compact_every: int | None = None,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
 
@@ -79,6 +85,16 @@ def neardup_batch(
     — without per-batch release a long-running query would pin one frame
     per batch forever (growing executor storage AND driver registry without
     bound).
+
+    ``compact_every``: when set, once ``compact_every`` committed batch
+    partitions accumulate, the bucket-table partitions older than this
+    batch (which can never replay — only the LAST uncommitted batch
+    re-executes) plus any prior snapshot fold into ONE new snapshot
+    partition with the same bucket spec, and the shingle slice folds in
+    lockstep. This bounds file count, ``MSCK`` recovery time, and
+    per-batch scan metadata at O(compact_every) instead of O(stream
+    lifetime); without it a year-long stream accumulates
+    O(batches · num_history_buckets) files.
     """
     with scoped_caches():
         _neardup_batch_inner(
@@ -93,6 +109,7 @@ def neardup_batch(
             threshold=threshold,
             max_bucket_df=max_bucket_df,
             num_history_buckets=num_history_buckets,
+            compact_every=compact_every,
         )
 
 
@@ -109,11 +126,23 @@ def _neardup_batch_inner(
     threshold: float,
     max_bucket_df: int | None,
     num_history_buckets: int,
+    compact_every: int | None,
 ) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     shingles_dir = os.path.join(out_dir, "history", "shingles")
     docs_dir = os.path.join(out_dir, "docs")
     spark = batch_df.sparkSession
+    if compact_every is not None:
+        # before reading history: the cheapest moment (this batch's join
+        # then scans the compacted layout). Watermark = this batch id —
+        # strictly-older batches are committed and can never replay.
+        maybe_compact(
+            spark,
+            watermark=batch_id,
+            every=compact_every,
+            bucketed=(history_table_name(out_dir, "buckets"), buckets_dir),
+            plain_paths=(shingles_dir,),
+        )
 
     # The batch's banded frame (signature aggregation — the expensive
     # explode+groupBy) and its shingle sets are each computed ONCE and
@@ -247,6 +276,7 @@ def incremental_neardup_dedup(
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
     num_history_buckets: int = 64,
+    compact_every: int | None = None,
     available_now: bool = False,
 ):
     """Start a streaming query that keeps only documents which are not
@@ -266,6 +296,7 @@ def incremental_neardup_dedup(
             threshold=threshold,
             max_bucket_df=max_bucket_df,
             num_history_buckets=num_history_buckets,
+            compact_every=compact_every,
         )
 
     writer = (

@@ -477,3 +477,231 @@ def test_neardup_history_survives_catalog_loss(spark, tmp_path):
     )
     kept1 = [r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=1").collect()]
     assert kept1 == []  # 4 is a near-dup of batch-0 doc 1: history recovered
+
+
+def test_history_compaction_bounds_partitions_and_preserves_dedup(spark, tmp_path):
+    """The round-5 lifecycle fix: with ``compact_every=K``, committed batch
+    partitions older than the current batch fold into ONE snapshot
+    partition (monotone negative batch_id), so over 3·K synthetic batches
+    the partition count of both history slices stays bounded at
+    K + 1 (snapshot) instead of growing with stream lifetime — while
+    cross-batch dedup against COMPACTED batches, replay idempotence, and
+    the lockstep shingle slice all keep working."""
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    out = str(tmp_path / "cp_out")
+    schema = "doc_id long, text string"
+    K = 2
+    uniq = [
+        f"unique document number {i} about topic {i} with entirely fresh "
+        f"phrasing item{i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+        f"zeta{i} eta{i} theta{i}"
+        for i in range(6)
+    ]
+    for i in range(6):
+        neardup_batch(
+            spark.createDataFrame([(i + 1, uniq[i])], schema),
+            i, out, threshold=0.5, compact_every=K,
+        )
+        bids = list_batch_ids(spark, f"{out}/history/buckets")
+        sids = list_batch_ids(spark, f"{out}/history/shingles")
+        # at most one snapshot + K uncompacted real batches at any moment
+        assert len(bids) <= K + 1, (i, bids)
+        assert len(sids) <= K + 1, (i, sids)
+    bids = list_batch_ids(spark, f"{out}/history/buckets")
+    assert any(b < 0 for b in bids), bids  # a snapshot exists
+    # every kept doc's history row survived the folds: one row per doc in
+    # the shingle slice, 6 docs total
+    hist = spark.read.parquet(
+        *[f"{out}/history/shingles/batch_id={b}" for b in
+          list_batch_ids(spark, f"{out}/history/shingles")]
+    )
+    assert hist.select("doc_id").distinct().count() == 6
+
+    # cross-batch dedup against a COMPACTED batch: batch 0's doc now lives
+    # only inside a snapshot partition; an edit of it must still be dropped
+    edited = uniq[0].replace("alpha0", "alphaX")
+    neardup_batch(
+        spark.createDataFrame([(100, edited), (101, _OTHER)], schema),
+        6, out, threshold=0.5, compact_every=K,
+    )
+    kept6 = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=6").collect()
+    )
+    assert kept6 == [101], kept6
+
+    # replay of batch 6 (compaction may re-trigger): identical output
+    neardup_batch(
+        spark.createDataFrame([(100, edited), (101, _OTHER)], schema),
+        6, out, threshold=0.5, compact_every=K,
+    )
+    kept_replay = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=6").collect()
+    )
+    assert kept_replay == [101]
+
+
+def test_compacted_history_join_still_shuffle_free_and_recovers(spark, tmp_path):
+    """Task-9 follow-through: after compaction, (a) the history side of the
+    candidate join is STILL an Exchange-free bucketed scan (the snapshot is
+    written through the same bucketed insert), and (b) catalog loss
+    recovers from the sidecar + MSCK over the COMPACTED partition layout —
+    O(compacted partitions), not O(batches)."""
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import (
+        history_table_name,
+        list_batch_ids,
+        read_prior_history,
+    )
+
+    out = str(tmp_path / "cpr_out")
+    schema = "doc_id long, text string"
+    docs = [
+        (1, _BASE),
+        (2, _OTHER),
+        (3, "a recipe for sourdough bread requires patient fermentation of "
+            "the starter culture and careful folding of the wet dough"),
+    ]
+    for i, row in enumerate(docs):
+        neardup_batch(
+            spark.createDataFrame([row], schema), i, out,
+            threshold=0.5, compact_every=2,
+        )
+    bids = list_batch_ids(spark, f"{out}/history/buckets")
+    assert any(b < 0 for b in bids), bids
+
+    tbl = history_table_name(out, "buckets")
+    # (b) catalog loss: drop the table, next read must re-register + MSCK
+    spark.sql(f"DROP TABLE {tbl}")
+    prior = read_prior_history(spark, tbl, f"{out}/history/buckets", 3)
+    assert prior is not None
+    got_parts = sorted(
+        r.batch_id for r in prior.select("batch_id").distinct().collect()
+    )
+    assert got_parts == sorted(bids), (got_parts, bids)
+
+    # (a) the 1-Exchange plan shape on the compacted table
+    new_b = spark.createDataFrame([("x", 99)], "bucket string, id long")
+    old_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            new_b.join(prior.select("bucket", "doc_id"), "bucket")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_broadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    seg_after_scan = plan[plan.index("FileScan parquet") :]
+    assert "Exchange" not in seg_after_scan
+
+    # and cross-batch dedup still works against the recovered compacted
+    # history (an edit of the batch-0 doc)
+    neardup_batch(
+        spark.createDataFrame([(9, _EDITED)], schema), 3, out,
+        threshold=0.5, compact_every=2,
+    )
+    kept = [r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=3").collect()]
+    assert kept == []
+
+
+def test_exact_dedup_history_compaction(spark, tmp_path):
+    """The exact-dedup hash history gets the same lifecycle bound via
+    compact_plain_history: partitions fold, cross-batch dedup against a
+    folded batch still drops, replay still idempotent."""
+    from linkorgs_software_spark.streaming import dedup_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    out = str(tmp_path / "edc_out")
+    schema = "doc_id long, text string"
+    for i in range(5):
+        dedup_batch(
+            spark.createDataFrame([(i + 1, f"text number {i}")], schema),
+            i, out, compact_every=2,
+        )
+        assert len(list_batch_ids(spark, f"{out}/history")) <= 3
+    # re-post of batch 0's text (now folded into a snapshot) is dropped
+    dedup_batch(
+        spark.createDataFrame([(50, "text number 0"), (51, "fresh text")], schema),
+        5, out, compact_every=2,
+    )
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=5").collect()
+    )
+    assert kept == [51]
+
+
+def test_embed_neardup_compaction_and_multiprobe_cross_batch(spark, tmp_path):
+    """Streaming embedding near-dup: (a) with compact_every the bucket +
+    embedding history partitions stay bounded and a perturbed re-post of a
+    COMPACTED batch's vector is still dropped; (b) multiprobe parity — a
+    planted moderate-similarity pair (cosine ~0.89, sign codes >= 1 bit
+    apart in EVERY table at this seed) is MISSED by exact buckets but
+    dropped at multiprobe=1, with probes expanded on the micro-batch side
+    only."""
+    import numpy as np
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    # (a) compaction path at high threshold
+    rng = np.random.RandomState(3)
+    vecs = [rng.normal(size=16) for _ in range(5)]
+    out = str(tmp_path / "ec_out")
+    for i, v in enumerate(vecs):
+        embed_neardup_batch(
+            _df([(i + 1, v)]), i, out, dim=16, threshold=0.99, compact_every=2
+        )
+        assert len(list_batch_ids(spark, f"{out}/history/buckets")) <= 3
+        assert len(list_batch_ids(spark, f"{out}/history/embeddings")) <= 3
+    pert0 = vecs[0] + rng.normal(scale=1e-3, size=16)
+    embed_neardup_batch(
+        _df([(60, pert0), (61, rng.normal(size=16))]), 5, out,
+        dim=16, threshold=0.99, compact_every=2,
+    )
+    kept = sorted(
+        r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=5").collect()
+    )
+    assert kept == [61]  # 60 deduped against the compacted batch-0 vector
+
+    # (b) multiprobe: pair found by replicating the bucket math offline —
+    # base = RandomState(11) normal(16); pert = base + RandomState(10027)
+    # normal(scale=0.45): cosine 0.894, hamming-per-table [1,1,1,2] at
+    # seed 42 / 8 planes / 4 tables, so exact buckets share NO bucket
+    base = np.random.RandomState(11).normal(size=16)
+    pert = base + np.random.RandomState(10027).normal(scale=0.45, size=16)
+    cos = float(base @ pert / (np.linalg.norm(base) * np.linalg.norm(pert)))
+    assert 0.80 <= cos < 0.95
+
+    out_exact = str(tmp_path / "mp_exact")
+    embed_neardup_batch(_df([(1, base)]), 0, out_exact, dim=16, threshold=0.80)
+    embed_neardup_batch(_df([(2, pert)]), 1, out_exact, dim=16, threshold=0.80)
+    kept_exact = [
+        r.vec_id for r in spark.read.parquet(f"{out_exact}/docs/batch_id=1").collect()
+    ]
+    assert kept_exact == [2]  # exact buckets MISS the moderate pair
+
+    out_mp = str(tmp_path / "mp_probe")
+    embed_neardup_batch(
+        _df([(1, base)]), 0, out_mp, dim=16, threshold=0.80, multiprobe=1
+    )
+    embed_neardup_batch(
+        _df([(2, pert)]), 1, out_mp, dim=16, threshold=0.80, multiprobe=1
+    )
+    kept_mp = [
+        r.vec_id for r in spark.read.parquet(f"{out_mp}/docs/batch_id=1").collect()
+    ]
+    assert kept_mp == []  # hamming-1 probe recovers the pair
