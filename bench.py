@@ -258,6 +258,37 @@ def bench_dup_spans(spark, sf_dir: str):
     return duplicated_spans(docs, k=8).agg(F.sum("n_dup_spans")).collect()[0][0]
 
 
+def bench_dup_span_runs(spark, sf_dir: str):
+    """Maximal duplicated passages (run merging over duplicated window
+    positions) — the window-over-dup-positions cost that only shows at
+    volume; returns (runs, total duplicated tokens)."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import duplicated_span_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = (
+        duplicated_span_runs(docs, k=8)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()[0]
+    )
+    return int(row["n"]) * 1_000_000_000 + int(row["t"])
+
+
+def bench_dedup_passages(spark, sf_dir: str):
+    """Keep-one-occurrence passage dedup over the full documents table —
+    detector + canonical election + per-doc array-lambda token filter (the
+    array-lambda-per-token cost at volume); returns total removed tokens."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import dedup_passages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dedup_passages(docs, k=8).agg(F.sum("n_removed")).collect()[0][0]
+    )
+
+
 def bench_incremental_neardup(spark, sf_dir: str):
     """Streaming near-dup dedup fixed workload: the documents table split
     into 4 micro-batches processed sequentially through neardup_batch —
@@ -355,6 +386,8 @@ QUERIES = {
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
     "dup_spans": bench_dup_spans,
+    "dup_span_runs": bench_dup_span_runs,
+    "dedup_passages": bench_dedup_passages,
     "incremental_neardup": bench_incremental_neardup,
     "incremental_embed_neardup": bench_incremental_embed_neardup,
     "lineitem_agg": bench_lineitem_agg,
@@ -504,7 +537,7 @@ def run_scaling(sf_dir: str) -> None:
 
 AB_DEFAULT_QUERIES = (
     "link_block_score_heavy,link_full_pipeline,f1_gate,minhash_lsh_dedup,"
-    "incremental_neardup"
+    "incremental_neardup,dup_span_runs,dedup_passages"
 )
 
 
