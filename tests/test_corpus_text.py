@@ -788,3 +788,24 @@ def test_strip_boilerplate_rejects_oversized_span_list(spark):
     # at or under the cap it runs
     small = spark.range(0, 3).selectExpr("concat('span ', id) as span")
     assert strip_boilerplate_spans(docs, small, k=8, max_spans=10).count() == 1
+
+
+def test_lsh_buckets_numpy_impl_matches_catalyst(spark):
+    """The Arrow/numpy bucket kernel (the measured 2.4x winner at 150k
+    vectors) must produce the SAME (id, table_id, bucket) rows as the
+    oracle-mirrored Catalyst fold on real fixture vectors."""
+    from linkorgs_software_spark.operators.ann import lsh_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    kw = dict(vec_col="embedding", dim=64, n_planes=8, num_tables=4, seed=42)
+    a = {
+        (r.vec_id, r.table_id, r.bucket)
+        for r in lsh_buckets(emb, **kw).collect()
+    }
+    b = {
+        (r.vec_id, r.table_id, r.bucket)
+        for r in lsh_buckets(emb, impl="numpy", **kw).collect()
+    }
+    assert a == b and len(a) == emb.count() * 4
