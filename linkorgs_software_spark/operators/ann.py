@@ -73,6 +73,27 @@ def brute_force_topk(
     )
 
 
+def recommended_n_planes(
+    n_rows: int, *, target_bucket_rows: int = 16, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count that holds expected bucket occupancy at
+    ``target_bucket_rows`` for a corpus of ``n_rows`` — the measured
+    scale rule from the round-5 10x run (BENCH/BASELINE.md): sign-LSH
+    buckets are a FIXED vocabulary (2^n_planes per table), so a fixed
+    plane count makes occupancy grow linearly with the corpus and
+    self-join candidates quadratically (19.6x wall-clock for 10x data at
+    8 planes; 1.9x at the occupancy-matched 12). Planes must scale with
+    log2(corpus): ``ceil(log2(n / target))``, clamped — the ``hi`` clamp
+    matters because every extra plane also lowers per-table recall
+    (p_match^n_planes), which ``num_tables`` / ``multiprobe`` must then
+    buy back."""
+    import math
+
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows)))))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(np.float64)

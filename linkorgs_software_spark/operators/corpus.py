@@ -926,13 +926,23 @@ def embedding_neardup_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 10_000,
     multiprobe: int = 0,
 ) -> DataFrame:
     """Cosine near-dup pairs via hyperplane-LSH candidates + exact verify.
+
+    ``n_planes="auto"`` applies the measured scale rule
+    (``ann.recommended_n_planes``): one ``count()`` of the input picks
+    ``ceil(log2(n / 16))`` planes so bucket occupancy — and with it the
+    self-join candidate volume — stays CONSTANT as the corpus grows (a
+    fixed plane count went 19.6x wall-clock for 10x data in the round-5
+    scale run; the occupancy-matched count returned the identical answer
+    at 1.9x). Batch-only: the streaming variant must keep an explicit,
+    stream-constant plane count or cross-batch bucket joins would compare
+    incompatible codes.
 
     The scale path for ``embedding_neardup``: random-hyperplane sign buckets
     (``ann.lsh_buckets`` — seeded literal planes, pure Catalyst) generate
@@ -952,6 +962,10 @@ def embedding_neardup_lsh(
     families do (on EXACT bucket posting lists, before probe expansion, so
     a probe can never resurrect an over-cap bucket).
     """
+    if n_planes == "auto":
+        from .ann import recommended_n_planes
+
+        n_planes = recommended_n_planes(emb.count())
     cand = _embedding_lsh_candidates(
         emb,
         id_col=id_col,

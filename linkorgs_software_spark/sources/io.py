@@ -108,18 +108,30 @@ class StageCheckpointer:
     def _ensure_min_files(self, path: str, min_files: int) -> DataFrame:
         """Read ``path`` back, re-splitting from the materialized parquet
         when it landed as fewer than ``min_files`` files (tmp write + atomic
-        Hadoop-FS rename — never recomputes the build)."""
+        Hadoop-FS rename — never recomputes the build).
+
+        A ``_resplit_done`` marker (underscore-prefixed: invisible to the
+        parquet reader) makes the resplit happen AT MOST ONCE per stage: a
+        tiny stage can never reach ``min_files`` non-empty files (empty
+        shuffle partitions write no file), so a file-count-only trigger
+        would delete-and-rewrite the stage on EVERY call, invalidating
+        DataFrames returned by earlier calls (observed: a second
+        ``run()`` broke the first run's frame mid-test)."""
         out = self.spark.read.parquet(path)
-        if min_files and len(out.inputFiles()) < min_files:
-            tmp = path + "__resplit"
-            out.repartition(min_files).write.mode("overwrite").parquet(tmp)
-            jvm = self.spark._jvm
-            hpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-            fs.delete(hpath, True)
-            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
-            out = self.spark.read.parquet(path)
-        return out
+        if not min_files or len(out.inputFiles()) >= min_files:
+            return out
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        marker = jvm.org.apache.hadoop.fs.Path(path, "_resplit_done")
+        if fs.exists(marker):
+            return out
+        tmp = path + "__resplit"
+        out.repartition(min_files).write.mode("overwrite").parquet(tmp)
+        fs.delete(hpath, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+        fs.create(marker, True).close()
+        return self.spark.read.parquet(path)
 
     def run_bucketed(
         self,

@@ -809,3 +809,41 @@ def test_lsh_buckets_numpy_impl_matches_catalyst(spark):
         for r in lsh_buckets(emb, impl="numpy", **kw).collect()
     }
     assert a == b and len(a) == emb.count() * 4
+
+
+def test_recommended_n_planes_scale_rule():
+    """The measured occupancy rule: planes grow with log2(corpus), clamped;
+    the 10x scale-run sizes reproduce the measured good configs."""
+    from linkorgs_software_spark.operators.ann import recommended_n_planes
+
+    assert recommended_n_planes(5_000) == 9
+    assert recommended_n_planes(50_000) == 12
+    assert recommended_n_planes(50_000 * 10) == 15  # +log2(10) per decade
+    assert recommended_n_planes(0) == 4
+    assert recommended_n_planes(10**12) == 24  # hi clamp (recall cost)
+    # occupancy at the recommendation stays near target
+    for n in (10_000, 1_000_000, 100_000_000):
+        p = recommended_n_planes(n)
+        assert 2 <= n / (2**p) <= 16.01, (n, p)
+
+
+def test_embedding_neardup_lsh_auto_planes_matches_explicit(spark):
+    """n_planes='auto' picks the occupancy-matched count from the input
+    size and returns the same pair set as passing that count explicitly."""
+    from linkorgs_software_spark.operators.ann import recommended_n_planes
+    from linkorgs_software_spark.operators.corpus import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    p = recommended_n_planes(n)
+    auto = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(emb, threshold=0.99, n_planes="auto").collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(emb, threshold=0.99, n_planes=p).collect()
+    }
+    assert auto == explicit
