@@ -139,11 +139,18 @@ def _embed_neardup_batch_inner(
     ).select(F.col(id_col).alias("_id"), "table_id", "bucket").persist()
     try:
         # intra-batch: drop the larger id of every verified near-dup pair;
-        # probe expansion on ONE self-join side only (see docstring)
-        probed_in = expand_probes(new_b, n_planes=n_planes, multiprobe=multiprobe)
+        # df-cap the EXACT buckets first (text-sibling symmetry — a viral
+        # vector in one oversized micro-batch must not square inside one
+        # bucket task), then probe-expand ONE self-join side only (see
+        # docstring; probes can never resurrect an over-cap bucket)
+        b_in = new_b
+        if max_bucket_df is not None:
+            b_in = b_in.withColumn("_k", F.concat_ws(":", "table_id", "bucket"))
+            b_in = apply_df_cap(b_in, "_k", max_bucket_df).drop("_k")
+        probed_in = expand_probes(b_in, n_planes=n_planes, multiprobe=multiprobe)
         cand_in = (
             probed_in.alias("a")
-            .join(new_b.alias("b"), ["table_id", "bucket"])
+            .join(b_in.alias("b"), ["table_id", "bucket"])
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("_id_a"), F.col("b._id").alias("_id_b"))
             .distinct()
