@@ -531,6 +531,34 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def _q_embedding_neardup_auto(spark, sf_dir):
+    """The round-5 occupancy rule driven through the correctness gate:
+    ``n_planes="auto"`` sizes the plane count from the input
+    (ceil(log2(n/16)) — the measured fix for the 10x scale run's
+    quadratic fixed-plane row), on the same planted near-zero-angle twins
+    as the exact-bucket query, so the brute-force SQL remains an exact
+    oracle: twin pairs preserve every hyperplane sign with near-certainty
+    at ANY plane count, and every candidate is exact-verified at the
+    0.99 threshold."""
+    from linkorgs_software_spark.operators.corpus import embedding_neardup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(10000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1).cast("double") + F.lit(0.001)),
+            F.expr("transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))"),
+        ).alias("embedding"),
+    )
+    out = embedding_neardup_lsh(
+        base.unionByName(pert), threshold=0.99, n_planes="auto", num_tables=8
+    )
+    return out.select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 def _q_embedding_neardup_multiprobe(spark, sf_dir):
     """Multi-probe LSH in the MODERATE-similarity regime the exact-bucket
     query cannot reach: twins planted at cosine ~0.81-0.91 (element 1
@@ -865,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": _q_neardup_groups,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_neardup_auto": _q_embedding_neardup_auto,
         "embedding_neardup_multiprobe": _q_embedding_neardup_multiprobe,
         "ann_topk": _q_ann_topk,
         "ivf_topk_full": _q_ivf_topk_full,
@@ -1148,6 +1177,24 @@ from embeddings a join embeddings b on a.vec_id < b.vec_id
 where {cos} >= 0.30
 """,
         "embedding_neardup_lsh": """
+with base as (
+  select vec_id, list_transform(embedding, x -> x::double) as emb from embeddings),
+pert as (
+  select vec_id + 10000 as vec_id,
+    list_concat([embedding[1]::double + 0.001],
+                list_transform(embedding[2:], x -> x::double)) as emb
+  from embeddings),
+u as (select * from base union all select * from pert),
+scored as (
+  select a.vec_id as id_a, b.vec_id as id_b,
+    (list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i])))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> a.emb[i] * a.emb[i])))
+     * sqrt(list_sum(list_transform(range(1, 65), i -> b.emb[i] * b.emb[i]))))
+    as cos
+  from u a join u b on a.vec_id < b.vec_id)
+select id_a, id_b, round(cos, 4) as cosine_sim from scored where cos >= 0.99
+""",
+        "embedding_neardup_auto": """
 with base as (
   select vec_id, list_transform(embedding, x -> x::double) as emb from embeddings),
 pert as (
