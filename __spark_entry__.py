@@ -773,6 +773,27 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Keyword extraction: top-3 characteristic terms per doc by smoothed
+    TF-IDF (sklearn form), deterministic tie ordering — the corpus
+    topical-profiling measurement."""
+    from linkorgs_software_spark.operators.corpus import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+def _q_lm_quality(spark, sf_dir):
+    """Self-referential LM quality score: per-doc mean log-probability of
+    its word transitions under an add-one-smoothed bigram model estimated
+    from the corpus itself (the CCNet-style perplexity filter with no
+    external model artifact)."""
+    from linkorgs_software_spark.operators.corpus import lm_quality_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return lm_quality_scores(docs)
+
+
 def _q_top_spans(spark, sf_dir):
     """The boilerplate triage report: the 20 most widely repeated length-8
     token windows across the corpus (deterministic tie ordering)."""
@@ -912,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "dup_span_runs": _q_dup_span_runs,
         "dedup_passages": _q_dedup_passages,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "lm_quality": _q_lm_quality,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1395,6 +1418,37 @@ kk as (select doc_id, toks,
 select doc_id, coalesce(array_to_string(kept, ' '), '') as text_clean,
   len(toks)::bigint as n_tokens, (len(toks) - len(kept))::bigint as n_removed
 from kk
+""",
+        "tfidf_top_terms": f"""
+with t as (select doc_id, {toks} as toks from documents),
+nd as (select count(*) as n from documents),
+terms as (select doc_id, unnest(toks) as term from t),
+tf as (select doc_id, term, count(*) as tf from terms group by 1, 2),
+dfq as (select term, count(*) as df from tf group by 1),
+scored as (select tf.doc_id, tf.term, tf.tf,
+  round(tf.tf * (ln(((select n from nd) + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+    as tfidf
+  from tf join dfq using (term)),
+r as (select *, row_number() over
+        (partition by doc_id order by tfidf desc, term asc) as rank
+      from scored)
+select doc_id, term, tf::bigint as tf, tfidf, rank::bigint as rank
+from r where rank <= 3
+""",
+        "lm_quality": f"""
+with t as (select doc_id, {toks} as toks from documents),
+bg as (select doc_id, toks[i] as w1, toks[i + 1] as w2
+       from t, unnest(case when len(toks) >= 2 then range(1, len(toks))
+                      else []::bigint[] end) as u(i)),
+c12 as (select w1, w2, count(*) as c12 from bg group by 1, 2),
+c1 as (select w1, count(*) as c1 from bg group by 1),
+v as (select count(distinct w) as v from (select unnest(toks) as w from t)),
+per as (select bg.doc_id, count(*) as n_bigrams,
+  round(avg(ln((c12.c12 + 1.0) / (c1.c1 + (select v from v)::double))), 6)
+    as avg_logp
+  from bg join c12 using (w1, w2) join c1 using (w1) group by 1)
+select d.doc_id, coalesce(p.n_bigrams, 0)::bigint as n_bigrams, p.avg_logp
+from documents d left join per p using (doc_id)
 """,
         "top_spans": f"""
 with t as (select doc_id, {toks} as toks from documents),

@@ -319,6 +319,36 @@ def bench_incremental_neardup(spark, sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_incremental_neardup_compact(spark, sf_dir: str):
+    """The same 4-micro-batch streaming workload with ``compact_every=2``:
+    measures what periodic history compaction (two snapshot folds over
+    this run) COSTS on top of `incremental_neardup` — the rewrite-I/O vs
+    bounded-metadata trade the round-5 lifecycle fix makes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="linkorgs_bench_ndcompact_")
+    try:
+        for b in range(4):
+            neardup_batch(
+                docs.filter(F.col("doc_id") % 4 == b), b, out,
+                threshold=0.5, compact_every=2,
+            )
+        return spark.read.parquet(f"{out}/docs").count()
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'buckets')}")
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_incremental_embed_neardup(spark, sf_dir: str):
     """Streaming embedding near-dup fixed workload: the embeddings table
     (plus perturbed twins, so cross-batch drops actually occur) split into
@@ -389,6 +419,7 @@ QUERIES = {
     "dup_span_runs": bench_dup_span_runs,
     "dedup_passages": bench_dedup_passages,
     "incremental_neardup": bench_incremental_neardup,
+    "incremental_neardup_compact": bench_incremental_neardup_compact,
     "incremental_embed_neardup": bench_incremental_embed_neardup,
     "lineitem_agg": bench_lineitem_agg,
     "f1_gate": bench_f1_gate,

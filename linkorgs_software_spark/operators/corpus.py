@@ -845,6 +845,133 @@ def corpus_profile(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``(doc_id, term, tf, tfidf, rank)`` — the keyword-extraction /
+    topical-profiling measurement a pretraining pipeline runs to audit
+    what a corpus slice is actually about.
+
+    Weights are the sklearn-style smooth form
+    ``tf · (ln((N+1)/(df+1)) + 1)`` over lowercase whitespace tokens
+    (the same normalized stream every other corpus operator uses); ties
+    break (tfidf desc, term asc) so the top-k never flaps run-to-run or
+    against the SQL oracle; ``round(·, 6)`` keeps the float comparison
+    engine-portable (ln is IEEE libm on both engines; last-ulp noise
+    dies at 6 decimals).
+
+    Scale shape: one explode (linear in tokens), a (doc, term) count
+    shuffle, a term-keyed document-frequency aggregate joined back on
+    ``term`` (both keyed on bounded vocabularies, never on pairs), and a
+    per-doc top-k window PARTITIONED by doc — no global window anywhere.
+    ``N`` is one scalar count. Empty docs have no terms and no rows.
+    """
+    from ..functions.text import tokens_expr
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        "_id",
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def lm_quality_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document corpus-bigram log-likelihood ``(doc_id, n_bigrams,
+    avg_logp)`` — a self-referential language-model quality score: how
+    typical each document's word transitions are of THIS corpus, under an
+    add-one-smoothed bigram model estimated from the corpus itself.
+    Unusually low scores flag boilerplate-free gibberish, wrong-language
+    slices, and template spam that per-doc heuristics (punctuation /
+    stopword ratios) miss; unusually high scores flag near-duplicate
+    templating. This is the classic perplexity-filter idea (e.g. CCNet's
+    LM filtering) with the corpus itself as the model, so it needs no
+    external artifact.
+
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with V = distinct
+    unigram vocabulary; ``avg_logp`` = mean ln p over the doc's bigrams,
+    round(·, 6). Docs with < 2 tokens keep a row with ``n_bigrams = 0``
+    and NULL score (a filter should treat them via the length rule, not
+    silently drop them).
+
+    Scale shape: one explode to (w1, w2) pairs (linear in tokens), two
+    count aggregates keyed on bounded vocabularies (bigram + unigram),
+    one join back on the bigram key, one per-doc average — no pair joins,
+    no global windows, V and nothing else collected (two scalar counts).
+    """
+    from ..functions.text import tokens_expr
+
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    n = F.size("_t")
+    bigrams_expr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("_t", i).alias("w1"), F.element_at("_t", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = register_cache(
+        base.select("_id", F.explode(bigrams_expr).alias("b"))
+        .select("_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = int(
+        base.select(F.explode("_t").alias("w")).agg(F.countDistinct("w")).collect()[0][0]
+    )
+    logp = F.log(
+        (F.col("_c12") + F.lit(1.0)) / (F.col("_c1") + F.lit(float(vocab)))
+    )
+    per_doc = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg(logp), 6).alias("avg_logp"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logp",
+        )
+    )
+
+
 CLEAN_RULES = ("too_short", "too_puncty", "low_quality", "wrong_lang", "duplicate")
 
 

@@ -847,3 +847,74 @@ def test_embedding_neardup_lsh_auto_planes_matches_explicit(spark):
         for r in embedding_neardup_lsh(emb, threshold=0.99, n_planes=p).collect()
     }
     assert auto == explicit
+
+
+def test_tfidf_top_terms_ranks_characteristic_terms(spark):
+    """A term unique to one doc outranks corpus-wide terms; ranks are
+    deterministic under ties; k caps per-doc rows; empty docs vanish."""
+    import math
+
+    from linkorgs_software_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "common common common"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.tfidf))
+    assert 4 not in rows
+    for v in rows.values():
+        v.sort()
+        assert len(v) <= 2
+    # doc 1: apple (tf 2, df 1) is the most characteristic term
+    assert rows[1][0][1] == "apple" and rows[1][0][2] == 2
+    # doc 3 has only 'common' (df 3): weight = 3 * (ln(5/4)+1)
+    expect = round(3 * (math.log(5.0 / 4.0) + 1.0), 6)
+    assert rows[3] == [(1, "common", 3, expect)]
+    # tie in doc 2: banana (df 2) beats common? common tf=2 df=3;
+    # banana tf=1 df=2: 1*(ln(5/3)+1)=1.51 vs 2*(ln(5/4)+1)=2.45 -> common first
+    assert rows[2][0][1] == "common"
+
+
+def test_lm_quality_scores_flag_atypical_transitions(spark):
+    """Docs made of corpus-typical bigrams score higher than a doc of
+    never-seen transitions; short docs keep a row with NULL score."""
+    from linkorgs_software_spark.operators.corpus import lm_quality_scores
+
+    typical = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [
+            (1, typical),
+            (2, typical),
+            (3, typical),
+            (4, "mat the on sat cat the"),  # same unigrams, alien bigrams
+            (5, "one"),                      # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in lm_quality_scores(docs).collect()}
+    assert out[5] == (0, None)
+    assert out[1][0] == 5 and out[1] == out[2] == out[3]
+    assert out[4][0] == 5
+    assert out[1][1] > out[4][1]  # typical transitions score higher
+
+
+def test_lm_quality_scores_exact_value(spark):
+    """Hand-checked probability: two docs 'a b' and 'a b' -> c(a,b)=2,
+    c(a)=2, V=2 -> p = 3/4, avg_logp = ln(0.75)."""
+    import math
+
+    from linkorgs_software_spark.operators.corpus import lm_quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.avg_logp for r in lm_quality_scores(docs).collect()}
+    assert out[1] == out[2] == round(math.log(3.0 / 4.0), 6)
