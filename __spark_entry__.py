@@ -773,6 +773,28 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a within-table split: docs with
+    doc_id % 50 == 0 play the evaluation set; every other doc is flagged
+    iff it shares any length-8 token window with that set — the n-gram
+    decontamination rule from the GPT-3/Llama training reports, counted
+    (never pair-joined)."""
+    from linkorgs_software_spark.operators.corpus import decontaminate_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_flags(corpus, bench, k=8)
+
+
+def _q_source_profile(spark, sf_dir):
+    """Per-source sizing + dup triage (the slice-level curation view)."""
+    from linkorgs_software_spark.operators.corpus import source_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_profile(docs)
+
+
 def _q_tfidf_top_terms(spark, sf_dir):
     """Keyword extraction: top-3 characteristic terms per doc by smoothed
     TF-IDF (sklearn form), deterministic tie ordering — the corpus
@@ -935,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": _q_dedup_passages,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "lm_quality": _q_lm_quality,
+        "decontaminate": _q_decontaminate,
+        "source_profile": _q_source_profile,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1418,6 +1442,35 @@ kk as (select doc_id, toks,
 select doc_id, coalesce(array_to_string(kept, ' '), '') as text_clean,
   len(toks)::bigint as n_tokens, (len(toks) - len(kept))::bigint as n_removed
 from kk
+""",
+        "decontaminate": f"""
+with t as (select doc_id, {toks} as toks from documents),
+ex as (select doc_id, md5(array_to_string(toks[i:i+7], ' ')) as span
+       from t, unnest(case when len(toks) >= 8
+                      then range(1, len(toks) - 8 + 2)
+                      else []::bigint[] end) as u(i)),
+bench as (select distinct span from ex where doc_id % 50 = 0),
+hits as (select doc_id, count(*) as n
+         from ex where doc_id % 50 != 0 and span in (select span from bench)
+         group by 1)
+select d.doc_id,
+  coalesce(h.n, 0)::bigint as n_contaminated_windows,
+  coalesce(h.n, 0) > 0 as contaminated
+from (select doc_id from documents where doc_id % 50 != 0) d
+left join hits h using (doc_id)
+""",
+        "source_profile": """
+select source,
+  count(*)::bigint as n_docs,
+  sum(len(case when length(trim(lower(text))) = 0 then []::varchar[]
+           else string_split_regex(trim(lower(text)), '\\s+') end))::bigint
+    as total_tokens,
+  round(sum(len(case when length(trim(lower(text))) = 0 then []::varchar[]
+                else string_split_regex(trim(lower(text)), '\\s+') end))::double
+        / count(*), 6) as avg_tokens,
+  count(distinct md5(text))::bigint as n_distinct_texts,
+  round(1.0 - count(distinct md5(text))::double / count(*), 6) as exact_dup_rate
+from documents group by 1
 """,
         "tfidf_top_terms": f"""
 with t as (select doc_id, {toks} as toks from documents),

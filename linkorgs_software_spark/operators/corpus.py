@@ -845,6 +845,115 @@ def corpus_profile(
     )
 
 
+def decontaminate_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, n_contaminated_windows,
+    contaminated)`` — flag every training document sharing ANY length-``k``
+    token window with an evaluation/benchmark set (the n-gram
+    decontamination rule the GPT-3 / Llama training reports describe).
+    A training corpus that contains eval text inflates downstream scores;
+    this is the hygiene pass that catches it BEFORE training.
+
+    Semantics: windows are md5 hashes of lowercase whitespace k-token
+    windows (the same normalized stream as ``duplicated_spans``);
+    ``n_contaminated_windows`` counts the doc's window POSITIONS that
+    match any benchmark window (so a long leaked passage scores higher
+    than one shared idiom); every corpus doc keeps a row.
+
+    Scale shape: COUNTED, never pair-joined — the corpus explodes once
+    (linear in tokens), the benchmark's distinct window set (eval suites
+    are tiny next to a training corpus — typically broadcast by AQE)
+    joins on the window hash, and a per-doc count aggregates matches. No
+    doc x benchmark-doc pairs ever materialize.
+    """
+    from ..functions.text import tokens_expr
+
+    def spans_of(frame: DataFrame, col: str, out_id: str | None):
+        toks = tokens_expr(F.lower(F.col(col)))
+        n = F.size(toks)
+        spans = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.explode(spans).alias("span")]
+        if out_id is not None:
+            cols = [F.col(out_id).alias("_id")] + cols
+        return frame.select(*cols)
+
+    bench_spans = spans_of(benchmark, bench_text_col, None).distinct()
+    hits = (
+        spans_of(corpus, text_col, id_col)
+        .join(bench_spans, "span", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_windows"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("_id"))
+        .join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_contaminated_windows", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_windows"),
+            (F.coalesce("n_contaminated_windows", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def source_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus triage: ``(source, n_docs, total_tokens,
+    avg_tokens, n_distinct_texts, exact_dup_rate)`` — the slice-level
+    sizing/dup view a pipeline owner reads to decide which SOURCES to
+    keep, cap, or dedup harder (web-corpus curation is done per source
+    long before per-document rules run).
+
+    One scan + one groupBy on the source key; exact-dup rate is
+    1 − distinct content hashes / docs WITHIN the source (cross-source
+    duplication belongs to the global dedup pass). round(·, 6)
+    integer-ratio doubles for oracle parity; deterministic ordering left
+    to the caller.
+    """
+    from ..functions.text import token_count_expr
+
+    return (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count_expr(text_col).cast("long").alias("_nt"),
+            F.md5(F.col(text_col)).alias("_h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(
+                F.sum("_nt").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_tokens"),
+            F.countDistinct("_h").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("_h").cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     *,

@@ -918,3 +918,53 @@ def test_lm_quality_scores_exact_value(spark):
     )
     out = {r.doc_id: r.avg_logp for r in lm_quality_scores(docs).collect()}
     assert out[1] == out[2] == round(math.log(3.0 / 4.0), 6)
+
+
+def test_decontaminate_flags_shared_windows(spark):
+    """A training doc containing a benchmark passage is flagged with the
+    number of matching window positions; clean docs keep a zero row; short
+    docs (< k tokens) can never be flagged."""
+    from linkorgs_software_spark.operators.corpus import decontaminate_flags
+
+    bench_passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words then " + bench_passage + " trailing text here"),
+            (2, "totally clean document with no benchmark overlap anywhere at all"),
+            (3, bench_passage),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_passage + " and some extra benchmark context")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_windows, r.contaminated)
+        for r in decontaminate_flags(corpus, bench, k=8).collect()
+    }
+    assert out[2] == (0, False)
+    assert out[4] == (0, False)
+    assert out[3] == (1, True)          # exactly the one 8-token window
+    assert out[1][0] >= 1 and out[1][1]  # embedded passage detected
+
+
+def test_source_profile_per_source_dup_rates(spark):
+    from linkorgs_software_spark.operators.corpus import source_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web", 13),
+            (2, "one two three", "en", "web", 13),
+            (3, "four five", "en", "web", 9),
+            (4, "six seven eight nine", "en", "books", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.source: r for r in source_profile(docs).collect()}
+    web = out["web"]
+    assert (web.n_docs, web.total_tokens, web.n_distinct_texts) == (3, 8, 2)
+    assert web.exact_dup_rate == round(1.0 - 2.0 / 3.0, 6)
+    assert out["books"].exact_dup_rate == 0.0
+    assert out["books"].avg_tokens == 4.0
