@@ -773,6 +773,20 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_b3_clusters(spark, sf_dir):
+    """B-cubed cluster precision/recall/F1 (Bagga & Baldwin) between two
+    real partitions of the customer table — nation as the predicted
+    clustering, market segment as truth. The cluster-level ER metric that
+    complements the pairwise F1 gate: computed from (pred, true) CELL
+    counts only, never cluster member pairs."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    cust = _read(spark, sf_dir, "customer")
+    pred = cust.select(F.col("c_custkey").alias("id"), F.col("c_nationkey").cast("string").alias("pred_cluster"))
+    truth = cust.select(F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("true_cluster"))
+    return b3_scores(pred, truth)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over a within-table split: docs with
     doc_id % 50 == 0 play the evaluation set; every other doc is flagged
@@ -959,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": _q_lm_quality,
         "decontaminate": _q_decontaminate,
         "source_profile": _q_source_profile,
+        "b3_clusters": _q_b3_clusters,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1442,6 +1457,23 @@ kk as (select doc_id, toks,
 select doc_id, coalesce(array_to_string(kept, ' '), '') as text_clean,
   len(toks)::bigint as n_tokens, (len(toks) - len(kept))::bigint as n_removed
 from kk
+""",
+        "b3_clusters": """
+with cells as (
+  select c_nationkey::varchar as p, c_mktsegment as t, count(*) as n_pt
+  from customer group by 1, 2),
+np as (select p, sum(n_pt) as n_p from cells group by 1),
+nt as (select t, sum(n_pt) as n_t from cells group by 1),
+agg as (select sum(n_pt) as n,
+  sum(n_pt * n_pt / n_p) as sp, sum(n_pt * n_pt / n_t) as sr
+  from cells join np using (p) join nt using (t))
+select n::bigint as n_records,
+  round(sp / n, 6) as b3_precision,
+  round(sr / n, 6) as b3_recall,
+  round(case when sp / n + sr / n > 0
+        then 2.0 * (sp / n) * (sr / n) / (sp / n + sr / n) else 0.0 end, 6)
+    as b3_f1
+from agg
 """,
         "decontaminate": f"""
 with t as (select doc_id, {toks} as toks from documents),

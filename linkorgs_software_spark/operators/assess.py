@@ -124,3 +124,59 @@ def assess_blocking(
             ).alias("reduction_ratio"),
         )
     )
+
+
+def b3_scores(
+    pred: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "id",
+    pred_col: str = "pred_cluster",
+    true_col: str = "true_cluster",
+) -> DataFrame:
+    """B-cubed clustering precision/recall/F1 (Bagga & Baldwin 1998) — the
+    standard CLUSTER-level entity-resolution metric, complementing the
+    pairwise F1 gate (``assess_match_performance``): pairwise F1 weights
+    big clusters quadratically, B³ averages per RECORD, so a handful of
+    giant merged clusters can no longer hide many small mistakes.
+
+    One row ``(n_records, b3_precision, b3_recall, b3_f1)``. For record e:
+    P(e) = |pred(e) ∩ true(e)| / |pred(e)|, R(e) = the same over
+    |true(e)|; scores are means over records. Records present in only one
+    assignment are dropped (inner join — both clusterings must cover the
+    record for the metric to be defined).
+
+    Scale shape: never materializes cluster MEMBER PAIRS — three count
+    aggregates (per (pred,true) cell, per pred, per true) and one
+    weighted sum: Σ_cells n_pt·(n_pt/n_p) / N. All shuffles are keyed on
+    cluster ids; a viral cluster costs one count, not |cluster|² rows.
+    round(·, 6) for oracle parity.
+    """
+    a = pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"))
+    b = truth.select(F.col(id_col).alias("_id"), F.col(true_col).alias("_t"))
+    cells = (
+        a.join(b, "_id")
+        .groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).alias("n_pt"))
+    )
+    np_ = cells.groupBy("_p").agg(F.sum("n_pt").alias("n_p"))
+    nt_ = cells.groupBy("_t").agg(F.sum("n_pt").alias("n_t"))
+    agg = (
+        cells.join(np_, "_p")
+        .join(nt_, "_t")
+        .agg(
+            F.sum("n_pt").alias("n"),
+            F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_p")).alias("_sp"),
+            F.sum(F.col("n_pt") * F.col("n_pt") / F.col("n_t")).alias("_sr"),
+        )
+    )
+    p = F.col("_sp") / F.col("n")
+    r = F.col("_sr") / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.round(p, 6).alias("b3_precision"),
+        F.round(r, 6).alias("b3_recall"),
+        F.round(
+            F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0)), 6
+        ).alias("b3_f1"),
+    )

@@ -118,3 +118,56 @@ def test_assess_blocking_metrics(spark):
     assert r.n_covered == 2  # (c, c1) was lost by blocking
     assert r.pairs_completeness == pytest.approx(2 / 3, abs=1e-6)
     assert r.reduction_ratio == pytest.approx(1 - 3 / 100, abs=1e-6)
+
+
+def test_b3_scores_hand_checked(spark):
+    """Worked example: truth {1,2,3}{4,5}; pred splits the first cluster
+    -> perfect precision, recall < 1; exact fractions hand-derived."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    truth = spark.createDataFrame(
+        [(i, "A") for i in (1, 2, 3)] + [(i, "B") for i in (4, 5)],
+        "id long, true_cluster string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z"), (5, "z")],
+        "id long, pred_cluster string",
+    )
+    row = b3_scores(pred, truth).collect()[0]
+    assert row.n_records == 5
+    # precision: every pred cluster is pure -> 1.0
+    assert row.b3_precision == 1.0
+    # recall per record: 1,2 -> 2/3; 3 -> 1/3; 4,5 -> 1  => (2*2/3 + 1/3 + 2)/5
+    expect_r = round((2 * (2 / 3) + 1 / 3 + 2.0) / 5.0, 6)
+    assert row.b3_recall == expect_r
+    pr = 1.0 * (expect_r) ; # f1 from rounded? computed pre-round:
+    import math
+    r = (2 * (2 / 3) + 1 / 3 + 2.0) / 5.0
+    assert row.b3_f1 == round(2 * 1.0 * r / (1.0 + r), 6)
+
+
+def test_b3_identical_clusterings_score_one(spark):
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    assign = spark.createDataFrame(
+        [(i, f"c{i % 3}") for i in range(30)], "id long, pred_cluster string"
+    )
+    truth = assign.selectExpr("id", "pred_cluster as true_cluster")
+    row = b3_scores(assign, truth).collect()[0]
+    assert (row.b3_precision, row.b3_recall, row.b3_f1) == (1.0, 1.0, 1.0)
+
+
+def test_b3_merged_everything_has_low_precision(spark):
+    """Predicting ONE giant cluster: recall 1, precision = avg true-cluster
+    share — the failure mode pairwise F1 under-penalizes."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    truth = spark.createDataFrame(
+        [(i, f"t{i % 5}") for i in range(20)], "id long, true_cluster string"
+    )
+    pred = spark.createDataFrame(
+        [(i, "all") for i in range(20)], "id long, pred_cluster string"
+    )
+    row = b3_scores(pred, truth).collect()[0]
+    assert row.b3_recall == 1.0
+    assert row.b3_precision == round(4.0 / 20.0, 6)  # each record: 4/20
