@@ -228,3 +228,39 @@ def test_dedup_passages_single_tokens_scan(spark, tmp_path):
     # and no md5 re-hash outside the detector: head spans are CARRIED, not
     # recomputed from a runs ⋈ tokens join
     assert all("posexplode" in ln for ln in plan.splitlines() if "md5(" in ln), plan
+
+
+def test_round5_ops_plans_have_no_global_window_or_cartesian(spark, tmp_path):
+    """The round-5 analysis operators must stay distributed: tfidf's
+    top-k window is PARTITIONED by doc (no single-task global window),
+    and decontamination/LM scoring join on hash/vocabulary keys (no
+    cartesian product anywhere)."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import (
+        decontaminate_flags,
+        lm_quality_scores,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota") for i in range(6)],
+        "doc_id long, text string",
+    )
+    tfidf_plan = _plan(tfidf_top_terms(docs, k=2))
+    # every window spec names a partition key (no windowspec starting with
+    # an empty partition list => no SinglePartition exchange feeding it)
+    assert "Window" in tfidf_plan
+    assert "Exchange SinglePartition" not in tfidf_plan, tfidf_plan
+
+    for df in (
+        lm_quality_scores(docs),
+        decontaminate_flags(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            k=8,
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan

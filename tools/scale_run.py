@@ -54,16 +54,57 @@ def q_dedup_passages(spark, tag):
     return int(dedup_passages(docs, k=8).agg(F.sum("n_removed")).collect()[0][0])
 
 
+def q_tfidf(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    return tfidf_top_terms(docs, k=3).count()
+
+
+def q_lm_quality(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import lm_quality_scores
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    return int(
+        lm_quality_scores(docs).agg(F.sum("n_bigrams")).collect()[0][0]
+    )
+
+
+def q_decontaminate(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import decontaminate_flags
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    out = decontaminate_flags(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        k=8,
+    )
+    return int(out.agg(F.sum("n_contaminated_windows")).collect()[0][0])
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash,
     "embedding_lsh_dedup": q_embedding_lsh,
     "dup_spans": q_dup_spans,
     "dedup_passages": q_dedup_passages,
+    "tfidf_top_terms": q_tfidf,
+    "lm_quality": q_lm_quality,
+    "decontaminate": q_decontaminate,
 }
 
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    global QUERIES
+    names = [a for a in sys.argv[2:] if a in QUERIES]
+    if names:
+        QUERIES = {n: QUERIES[n] for n in names}
     from pyspark.sql import SparkSession
 
     spark = (
