@@ -773,6 +773,29 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """The corpus FLAGSHIP — the full hygiene pipeline composed end to
+    end, value-hash-checked as one unit (the corpus counterpart of
+    ``link_fuzzy_full``): filter chain (length / punctuation / quality /
+    language / exact-dup) → keep-one-occurrence passage dedup over the
+    kept docs → one-row sizing profile of the cleaned, deduped corpus.
+    Every stage is individually oracled elsewhere; this query proves the
+    COMPOSITION (including cross-stage schema/normalization handoffs)
+    stays bit-for-bit portable."""
+    from linkorgs_software_spark.operators.corpus import (
+        clean_corpus,
+        corpus_profile,
+        dedup_passages,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = clean_corpus(docs, langs=("en",))
+    deduped = dedup_passages(kept, k=8)
+    return corpus_profile(
+        deduped.select("doc_id", F.col("text_clean").alias("text"))
+    )
+
+
 def _q_b3_clusters(spark, sf_dir):
     """B-cubed cluster precision/recall/F1 (Bagga & Baldwin) between two
     real partitions of the customer table — nation as the predicted
@@ -974,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "source_profile": _q_source_profile,
         "b3_clusters": _q_b3_clusters,
+        "corpus_pipeline": _q_corpus_pipeline,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1457,6 +1481,63 @@ kk as (select doc_id, toks,
 select doc_id, coalesce(array_to_string(kept, ' '), '') as text_clean,
   len(toks)::bigint as n_tokens, (len(toks) - len(kept))::bigint as n_removed
 from kk
+""",
+        "corpus_pipeline": f"""
+with cflags as (
+  select doc_id,
+    ({n_tok} < 5) as too_short,
+    (round({pr}, 6) > 0.3) as too_puncty,
+    (round({quality}, 6) < 0.2) as low_quality,
+    (({lang_case}) not in ('en')) as wrong_lang,
+    md5(text) as h
+  from documents),
+ck as (select h, min(doc_id) as keep_id from cflags group by 1),
+kdocs as (
+  select d.doc_id, d.text
+  from documents d join cflags f using (doc_id) join ck on f.h = ck.h
+  where not (f.too_short or f.too_puncty or f.low_quality or f.wrong_lang)
+    and d.doc_id = ck.keep_id),
+t as (select doc_id, {toks} as toks from kdocs),
+ex as (select doc_id, i as pos,
+         md5(array_to_string(toks[i:i+7], ' ')) as span
+       from t, unnest(case when len(toks) >= 8
+                      then range(1, len(toks) - 8 + 2)
+                      else []::bigint[] end) as u(i)),
+sd as (select span from ex group by span having count(distinct doc_id) >= 2),
+dp as (select doc_id, pos, span from ex where span in (select span from sd)),
+hd as (select doc_id, min(pos) as start_pos, max(pos) as end_pos,
+         arg_min(span, pos) as head from (
+    select doc_id, pos, span,
+           pos - row_number() over (partition by doc_id order by pos) as grp
+    from dp) group by doc_id, grp),
+keeper as (select head, min(doc_id) as keep_id from hd group by 1),
+cuts as (select h2.doc_id,
+           list(struct_pack(s := h2.start_pos, e := h2.end_pos)) as cl
+         from hd h2 join keeper kp using (head)
+         where h2.doc_id != kp.keep_id group by 1),
+dd as (select t.doc_id, t.toks,
+         coalesce(c.cl, []::struct(s bigint, e bigint)[]) as cl
+       from t left join cuts c using (doc_id)),
+kk as (select doc_id,
+         list_filter(toks, (tok, i) ->
+           not len(list_filter(cl, c -> c.s <= i and i < c.e + 8)) > 0) as kept2
+       from dd),
+cleaned as (select doc_id,
+              coalesce(array_to_string(kept2, ' '), '') as text from kk),
+pp as (select md5(text) as h, {n_tok} as nt from cleaned),
+agg as (select count(*) as n_docs, count(distinct h) as n_distinct_texts,
+        sum(nt)::bigint as total_tokens, max(nt)::bigint as max_tokens,
+        count(*) filter (nt = 0) as n_empty from pp),
+med as (select max(nt)::bigint as m from (
+  select nt, row_number() over (order by nt asc) as rn from pp)
+  where rn <= (select (n_docs + 1) // 2 from agg))
+select n_docs, n_distinct_texts,
+  round(1.0 - n_distinct_texts::double / n_docs::double, 6) as exact_dup_rate,
+  total_tokens,
+  round(total_tokens::double / n_docs::double, 6) as avg_tokens,
+  (select m from med) as median_tokens,
+  max_tokens, n_empty
+from agg
 """,
         "b3_clusters": """
 with cells as (
