@@ -968,3 +968,32 @@ def test_source_profile_per_source_dup_rates(spark):
     assert web.exact_dup_rate == round(1.0 - 2.0 / 3.0, 6)
     assert out["books"].exact_dup_rate == 0.0
     assert out["books"].avg_tokens == 4.0
+
+
+def test_round5_ops_tolerate_null_and_empty_text(spark):
+    """NULL/empty text must not crash or corrupt the new analysis ops:
+    tfidf emits no rows for token-less docs, LM scoring and
+    decontamination keep a zero/NULL row for every input doc."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import (
+        decontaminate_flags,
+        lm_quality_scores,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real words here three four five six seven eight"),
+         (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    tf = tfidf_top_terms(docs, k=3)
+    assert {r.doc_id for r in tf.collect()} == {1}
+    lm = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in lm_quality_scores(docs).collect()}
+    assert set(lm) == {1, 2, 3, 4}
+    assert lm[2] == (0, None) and lm[3] == (0, None) and lm[4] == (0, None)
+    bench = spark.createDataFrame([(9, "real words here three four five six seven eight")],
+                                  "doc_id long, text string")
+    de = {r.doc_id: r.contaminated for r in decontaminate_flags(docs, bench, k=8).collect()}
+    assert set(de) == {1, 2, 3, 4}
+    assert de[1] and not (de[2] or de[3] or de[4])
