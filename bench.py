@@ -190,6 +190,25 @@ def bench_embedding_lsh(spark, sf_dir: str):
     ).count()
 
 
+def bench_embedding_lsh_auto(spark, sf_dir: str):
+    """Same workload as `embedding_lsh_dedup` but with the round-5
+    occupancy rule sizing the plane count from the input
+    (n_planes='auto') — the measured guard against the fixed-plane
+    quadratic blowup the 10x scale run exposed."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import embedding_neardup_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> cast(x + float(0.001) as float))").alias("embedding"),
+    )
+    return embedding_neardup_lsh(
+        emb.unionByName(pert), threshold=0.99, num_tables=4, n_planes="auto"
+    ).count()
+
+
 def bench_ann(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -413,6 +432,7 @@ QUERIES = {
     "link_full_pipeline": bench_fixture_linkage,
     "minhash_lsh_dedup": bench_minhash,
     "embedding_lsh_dedup": bench_embedding_lsh,
+    "embedding_lsh_auto": bench_embedding_lsh_auto,
     "ann_lsh_topk": bench_ann,
     "doc_stats": bench_doc_stats,
     "dup_spans": bench_dup_spans,

@@ -172,9 +172,15 @@ def list_batch_ids(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
-def _fold_set(ids: list[int], watermark: int) -> tuple[list[int], int]:
-    """Partitions eligible for folding (all prior snapshots + real batches
-    strictly below ``watermark``) and the next snapshot id.
+def _fold_set(
+    ids: list[int], watermark: int, *, which: str = "all"
+) -> tuple[list[int], int]:
+    """Partitions eligible for folding and the next snapshot id.
+
+    ``which``: ``"all"`` = prior snapshots + committed real batches
+    (< ``watermark``); ``"reals"`` = committed real batches only (a
+    tier-1 fold that leaves existing snapshots untouched); ``"snaps"`` =
+    snapshots only (the tier-2 merge).
 
     Snapshot ids are MONOTONE NEGATIVE (-1, -2, ...): each compaction
     writes a brand-new snapshot partition and only then deletes what it
@@ -183,13 +189,15 @@ def _fold_set(ids: list[int], watermark: int) -> tuple[list[int], int]:
     membership tests), never missing history. A mutable single snapshot
     dir would instead have a delete-then-rename window that silently LOSES
     prior history."""
-    fold = [b for b in ids if b < 0 or b < watermark]
-    new_id = min([b for b in fold if b < 0], default=0) - 1
+    snaps = [b for b in ids if b < 0]
+    olds = [b for b in ids if 0 <= b < watermark]
+    fold = {"all": snaps + olds, "reals": olds, "snaps": snaps}[which]
+    new_id = min(snaps, default=0) - 1
     return fold, new_id
 
 
 def compact_plain_history(
-    spark: SparkSession, path: str, *, watermark: int
+    spark: SparkSession, path: str, *, watermark: int, which: str = "all"
 ) -> int | None:
     """Fold a plain-parquet history's old ``batch_id`` partitions (prior
     snapshots + real batches < ``watermark``) into one new snapshot
@@ -202,7 +210,7 @@ def compact_plain_history(
     uncommitted batch re-executes) are folded, so a snapshot can never
     absorb a partition that a replay would need to exclude."""
     ids = list_batch_ids(spark, path)
-    fold, new_id = _fold_set(ids, watermark)
+    fold, new_id = _fold_set(ids, watermark, which=which)
     if len(fold) <= 1:
         return None
     fs, _, jvm = _fs_and_path(spark, path)
@@ -220,7 +228,7 @@ def compact_plain_history(
 
 
 def compact_bucketed_history(
-    spark: SparkSession, table: str, path: str, *, watermark: int
+    spark: SparkSession, table: str, path: str, *, watermark: int, which: str = "all"
 ) -> int | None:
     """Fold the bucketed catalog history's old partitions into one new
     snapshot partition with the SAME bucket spec (written through the
@@ -234,7 +242,7 @@ def compact_bucketed_history(
     pays that metadata cost. Crash anywhere => at worst duplicate rows
     (see ``_fold_set``), cleaned up by the next compaction."""
     ids = list_batch_ids(spark, path)
-    fold, new_id = _fold_set(ids, watermark)
+    fold, new_id = _fold_set(ids, watermark, which=which)
     if len(fold) <= 1:
         return None
     if not _ensure_table(spark, table, path):
@@ -285,20 +293,48 @@ def maybe_compact(
     bucketed: tuple[str, str] | None = None,
     plain_paths: tuple[str, ...] = (),
 ) -> bool:
-    """Compact when the number of real (non-snapshot) committed batch
-    partitions reaches ``every``. The trigger probe is one FS listing —
-    cheap enough to run at every micro-batch. ``bucketed`` is the
+    """TIERED compaction trigger, probed with one FS listing per batch
+    (cheap enough to run every micro-batch). ``bucketed`` is the
     (table, path) of the catalog history; ``plain_paths`` are its lockstep
-    plain-parquet slices (shingles / embeddings / hash history)."""
+    plain-parquet slices (shingles / embeddings / hash history).
+
+    Two tiers bound the REWRITE amortization as well as the metadata:
+
+      * tier 1 — when ``every`` committed real batches accumulate, fold
+        ONLY those batches into a new snapshot (existing snapshots are
+        left untouched), so each tier-1 fold rewrites O(every) batches of
+        data, never the whole history;
+      * tier 2 — when ``every`` snapshots accumulate, fold the snapshots
+        into one. Tier-2 folds DO rewrite accumulated history, but they
+        fire every ``every``² batches instead of every ``every``.
+
+    Amortized extra write per batch: O(1 batch) + O(history / every²),
+    vs O(history / every) for the naive fold-everything-each-time scheme
+    — the two-level LSM/Iceberg binpack idea. Partition count stays
+    bounded at < 2·``every`` + 1 (reals awaiting tier 1 + snapshots
+    awaiting tier 2). Replay safety is per-fold (see
+    ``compact_plain_history``) and unaffected by tiering: snapshots only
+    ever contain committed batches."""
+    every = max(2, int(every))  # a 1-batch "fold" is a pointless rewrite
     probe = bucketed[1] if bucketed is not None else plain_paths[0]
-    olds = [b for b in list_batch_ids(spark, probe) if 0 <= b < watermark]
-    if len(olds) < every:
-        return False
-    if bucketed is not None:
-        compact_bucketed_history(spark, bucketed[0], bucketed[1], watermark=watermark)
-    for p in plain_paths:
-        compact_plain_history(spark, p, watermark=watermark)
-    return True
+    ids = list_batch_ids(spark, probe)
+    olds = [b for b in ids if 0 <= b < watermark]
+    snaps = [b for b in ids if b < 0]
+    folds = []
+    if len(olds) >= every:
+        folds.append("reals")
+        if len(snaps) + 1 >= every:  # the tier-1 fold adds one snapshot
+            folds.append("snaps")
+    elif len(snaps) >= every:
+        folds.append("snaps")
+    for which in folds:
+        if bucketed is not None:
+            compact_bucketed_history(
+                spark, bucketed[0], bucketed[1], watermark=watermark, which=which
+            )
+        for p in plain_paths:
+            compact_plain_history(spark, p, watermark=watermark, which=which)
+    return bool(folds)
 
 
 def read_prior_history(

@@ -705,3 +705,41 @@ def test_embed_neardup_compaction_and_multiprobe_cross_batch(spark, tmp_path):
         r.vec_id for r in spark.read.parquet(f"{out_mp}/docs/batch_id=1").collect()
     ]
     assert kept_mp == []  # hamming-1 probe recovers the pair
+
+
+def test_tiered_compaction_amortizes_snapshot_rewrites(spark, tmp_path):
+    """Tier semantics: a tier-1 fold rewrites ONLY the accumulated real
+    batches (existing snapshots survive untouched — that's what bounds
+    amortized rewrite I/O at O(1 batch) + O(history/every²)); snapshots
+    merge only when `every` of them accumulate (tier 2), after which a
+    single snapshot remains. Cross-batch dedup keeps working throughout."""
+    from linkorgs_software_spark.streaming import dedup_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    out = str(tmp_path / "tier_out")
+    hist = f"{out}/history"
+    schema = "doc_id long, text string"
+    seen_ids = {}
+    for i in range(10):
+        dedup_batch(
+            spark.createDataFrame([(i + 1, f"tier text {i}")], schema),
+            i, out, compact_every=3,
+        )
+        seen_ids[i] = list_batch_ids(spark, hist)
+        assert len(seen_ids[i]) <= 2 * 3 + 1, (i, seen_ids[i])
+    # after batch 3's start-compaction: reals 0-2 folded into -1
+    assert -1 in seen_ids[3] and 0 not in seen_ids[3]
+    # after batch 6: a SECOND tier-1 snapshot appears and -1 SURVIVED
+    # (tier 1 must not rewrite existing snapshots)
+    assert {-1, -2} <= set(seen_ids[6]), seen_ids[6]
+    # after batch 9: three snapshots triggered the tier-2 merge -> one left
+    assert [b for b in seen_ids[9] if b < 0] == [-4], seen_ids[9]
+    # dedup against a doubly-folded batch still works
+    dedup_batch(
+        spark.createDataFrame([(99, "tier text 0"), (100, "fresh tier text")], schema),
+        10, out, compact_every=3,
+    )
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=10").collect()
+    )
+    assert kept == [100]
