@@ -743,3 +743,23 @@ def test_tiered_compaction_amortizes_snapshot_rewrites(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=10").collect()
     )
     assert kept == [100]
+
+
+def test_tier2_only_trigger_merges_stranded_snapshots(spark, tmp_path):
+    """If snapshots have accumulated to `every` without enough new real
+    batches (e.g. crash between tier-1 and tier-2 on earlier runs),
+    maybe_compact's standalone tier-2 branch merges them."""
+    from linkorgs_software_spark.streaming.history import (
+        list_batch_ids,
+        maybe_compact,
+    )
+
+    d = str(tmp_path / "t2" / "history")
+    for b in (-1, -2, -3, 7):
+        spark.range(2).selectExpr("id as doc_id").write.parquet(f"{d}/batch_id={b}")
+    assert maybe_compact(spark, watermark=8, every=3, plain_paths=(d,))
+    ids = list_batch_ids(spark, d)
+    assert [b for b in ids if b < 0] == [-4], ids  # merged into one
+    assert 7 in ids  # the lone real batch (< every) was left alone
+    # all six snapshot rows survived the merge
+    assert spark.read.parquet(f"{d}/batch_id=-4").count() == 6
