@@ -238,6 +238,70 @@ thr as (select greatest(max(dist), 0.000001) as t from (
 """
 
 
+def _link_many_sql() -> str:
+    """N-way resolution oracle: three part-derived sources, pairwise
+    trigram blocking + bigram-jaccard threshold (the exact `jaccard_scored`
+    arithmetic), recursive-CTE transitive closure, min-node-key entity ids
+    — mirrors `plans/multi.py::link_many` op-for-op."""
+    srcs = {
+        0: "select distinct p_name as raw from part",
+        1: "select distinct p_name || ' ' || p_brand as raw from part",
+        2: "select distinct upper(p_name) as raw from part",
+    }
+    parts = []
+    for i, q in srcs.items():
+        parts.append(
+            f"r{i} as (select {_norm_sql('raw')} as nn, min(raw) as name "
+            f"from ({q}) where length({_norm_sql('raw')}) > 0 group by 1)"
+        )
+    jac = (
+        f"1.0 - len(list_intersect({_bigram_sql('c.nx')}, {_bigram_sql('c.ny')}))::double"
+        f" / len(list_distinct(list_concat({_bigram_sql('c.nx')}, {_bigram_sql('c.ny')})))::double"
+    )
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    for i, j in pairs:
+        parts.append(
+            f"t{i}{j}x as (select nn, unnest({_tri_sql('nn')}) as gram from r{i})"
+        )
+        parts.append(
+            f"t{i}{j}y as (select nn, unnest({_tri_sql('nn')}) as gram from r{j})"
+        )
+        parts.append(
+            f"n{i}{j} as (select nn, count(*) as ng from t{i}{j}x group by 1)"
+        )
+        parts.append(
+            f"c{i}{j} as (select a.nn as nx, b.nn as ny, count(*) as sg "
+            f"from t{i}{j}x a join t{i}{j}y b using (gram) group by 1, 2)"
+        )
+        parts.append(
+            f"e{i}{j} as (select '{i:02d}:' || c.nx as a, '{j:02d}:' || c.ny as b "
+            f"from c{i}{j} c join n{i}{j} n on c.nx = n.nn "
+            f"where c.sg >= ceil(0.05 * n.ng) and {jac} <= 0.5)"
+        )
+    nodes = " union all ".join(
+        f"select {i} as side, name, nn, '{i:02d}:' || nn as node from r{i}"
+        for i in srcs
+    )
+    edges = " union all ".join(
+        x for i, j in pairs for x in (f"select a, b from e{i}{j}", f"select b, a from e{i}{j}")
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+with {ctes},
+nodes as ({nodes}),
+edges as ({edges}),
+reach as (
+  with recursive r(id, comp) as (
+    select node, node from nodes
+    union
+    select e.b, r.comp from r join edges e on e.a = r.id)
+  select id, min(comp) as comp from r group by id)
+select n.side::bigint as side, n.name, n.nn as name_norm,
+       reach.comp as entity_id
+from nodes n join reach on n.node = reach.id
+"""
+
+
 def _link_fuzzy_pipeline_sql(extra_ctes: str, thr_expr: str) -> str:
     """Full pipeline SQL: normalize -> representative original name per
     normalized name -> trigram blocking -> jaccard score+threshold ->
@@ -773,6 +837,24 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_link_many(spark, sf_dir):
+    """N-WAY entity resolution (the multi-source generalization the 2-way
+    reference cannot express in one call): three part-derived name sources
+    — raw names, name+brand variants, uppercase re-spellings — pairwise
+    trigram-blocked + jaccard-scored at the pinned threshold, accepted
+    pairs closed transitively into one entity id space. Entity ids are
+    deterministic min node keys ('<side>:<norm>'), so the whole graph
+    computation is value-hash-oracled (recursive-CTE closure)."""
+    from linkorgs_software_spark import link_many
+
+    part = _read(spark, sf_dir, "part")
+    a = part.selectExpr("p_name as name").distinct()
+    b = part.selectExpr("p_name || ' ' || p_brand as name").distinct()
+    c = part.selectExpr("upper(p_name) as name").distinct()
+    out = link_many([a, b, c], CFG, max_dist=0.5)
+    return out.withColumn("side", F.col("side").cast("long"))
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """The corpus FLAGSHIP — the full hygiene pipeline composed end to
     end, value-hash-checked as one unit (the corpus counterpart of
@@ -998,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_profile": _q_source_profile,
         "b3_clusters": _q_b3_clusters,
         "corpus_pipeline": _q_corpus_pipeline,
+        "link_many": _q_link_many,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1539,6 +1622,7 @@ select n_docs, n_distinct_texts,
   max_tokens, n_empty
 from agg
 """,
+        "link_many": _link_many_sql(),
         "b3_clusters": """
 with cells as (
   select c_nationkey::varchar as p, c_mktsegment as t, count(*) as n_pt

@@ -13,6 +13,7 @@ from .config import DEFAULT, LinkConfig, fixed_threshold_config
 from .operators.assess import MatchAssessment, assess_match_performance
 from .operators.calibrate import calibrated_threshold
 from .operators.cluster import clusters_to_pairs, connected_components, edges_from_matches
+from .plans.multi import link_many
 from .plans.pipeline import link_orgs
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "LinkConfig",
     "fixed_threshold_config",
     "link_orgs",
+    "link_many",
     "calibrated_threshold",
     "connected_components",
     "edges_from_matches",

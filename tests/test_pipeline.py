@@ -410,3 +410,41 @@ def test_embed_ann_multiprobe_recovers_moderate_neighbors(spark):
     assert link_orgs(x, y, cfg, **kw).count() == 0  # exact buckets miss
     z = link_orgs(x, y, cfg, embed_multiprobe=1, **kw)
     assert {(r.name_x, r.name_y) for r in z.collect()} == {("zz qq", "aa bb")}
+
+
+def test_link_many_three_sources_transitive_entities(spark):
+    """N-way resolution: names that match pairwise across three sources
+    collapse into ONE entity even when some pairs only connect through a
+    middle source (transitive closure); unrelated names stay singletons;
+    punctuation/case variants unify through normalization."""
+    from linkorgs_software_spark import LinkConfig, link_many
+
+    a = spark.createDataFrame(
+        [("Acme Corporation",), ("Globex Industries",), ("Lonely Org A",)],
+        "name string",
+    )
+    b = spark.createDataFrame(
+        [("acme corporation!",), ("Globex Industry",), ("Other Co",)],
+        "name string",
+    )
+    c = spark.createDataFrame(
+        [("ACME CORPORATION",), ("Globex Industrys",), ("Third Thing Entirely",)],
+        "name string",
+    )
+    out = link_many([a, b, c], LinkConfig(), max_dist=0.4)
+    rows = out.collect()
+    ent = {(r.side, r.name_norm): r.entity_id for r in rows}
+    # acme: identical after normalization across all three sources
+    acme_ids = {v for (s, n), v in ent.items() if n.startswith("acme")}
+    assert len(acme_ids) == 1
+    # globex variants chain into one entity across the three spellings
+    globex_ids = {v for (s, n), v in ent.items() if n.startswith("globex")}
+    assert len(globex_ids) == 1
+    # unrelated names each keep their own entity
+    singles = {v for (s, n), v in ent.items()
+               if not (n.startswith("acme") or n.startswith("globex"))}
+    assert len(singles) == 3
+    # entity ids are the deterministic min node key
+    assert min(acme_ids) == "00:acme corporation"
+    # every (side, name_norm) appears exactly once
+    assert len(rows) == 9
