@@ -411,6 +411,20 @@ def bench_incremental_embed_neardup(spark, sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def bench_link_many(spark, sf_dir: str):
+    """N-way resolution workload: three part-derived name sources through
+    C(3,2) pairwise blocked+scored joins + connected components — the
+    multi-source generalization's end-to-end cost."""
+    from linkorgs_software_spark import LinkConfig, link_many
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = part.selectExpr("p_name as name").distinct()
+    b = part.selectExpr("p_name || ' ' || p_brand as name").distinct()
+    c = part.selectExpr("upper(p_name) as name").distinct()
+    out = link_many([a, b, c], LinkConfig(), max_dist=0.5)
+    return out.select("entity_id").distinct().count()
+
+
 def bench_lineitem_agg(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -441,6 +455,7 @@ QUERIES = {
     "incremental_neardup": bench_incremental_neardup,
     "incremental_neardup_compact": bench_incremental_neardup_compact,
     "incremental_embed_neardup": bench_incremental_embed_neardup,
+    "link_many_3way": bench_link_many,
     "lineitem_agg": bench_lineitem_agg,
     "f1_gate": bench_f1_gate,
 }
