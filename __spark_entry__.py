@@ -837,6 +837,17 @@ def _q_dedup_passages(spark, sf_dir):
     return dedup_passages(docs, k=8)
 
 
+def _q_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostics over lineitem's supplier key — the
+    top-10 heaviest keys, their row share, and skew factor vs the mean
+    key: the pre-join measurement that justifies df-caps / salting / AQE
+    skew handling at scale."""
+    from linkorgs_software_spark.operators.assess import skew_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return skew_profile(li, "l_suppkey", top_n=10)
+
+
 def _q_link_many(spark, sf_dir):
     """N-WAY entity resolution (the multi-source generalization the 2-way
     reference cannot express in one call): three part-derived name sources
@@ -1081,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_clusters": _q_b3_clusters,
         "corpus_pipeline": _q_corpus_pipeline,
         "link_many": _q_link_many,
+        "skew_profile": _q_skew_profile,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
     }
@@ -1623,6 +1635,20 @@ select n_docs, n_distinct_texts,
 from agg
 """,
         "link_many": _link_many_sql(),
+        "skew_profile": """
+with c as (select l_suppkey::varchar as key, count(*) as n_rows
+           from lineitem group by 1),
+t as (select sum(n_rows) as total, count(*) as nkeys from c),
+r as (select key, n_rows,
+        row_number() over (order by n_rows desc, key asc) as rank
+      from c)
+select key, n_rows::bigint as n_rows,
+  round(n_rows / (select total from t)::double, 6) as row_share,
+  round(n_rows / ((select total from t)::double / (select nkeys from t)), 6)
+    as skew_factor,
+  rank::bigint as rank
+from r where rank <= 10
+""",
         "b3_clusters": """
 with cells as (
   select c_nationkey::varchar as p, c_mktsegment as t, count(*) as n_pt

@@ -126,6 +126,64 @@ def assess_blocking(
     )
 
 
+def skew_profile(
+    df: DataFrame,
+    key_cols,
+    *,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/groupBy key skew diagnostics: the ``top_n`` heaviest keys with
+    their share of all rows and a skew factor vs the mean key — the
+    measurement to run BEFORE committing a big shuffle at 100 TB, and the
+    evidence for choosing a df-cap, salting, or AQE skew handling (every
+    LSH/blocking family in this engine caps exactly the keys this report
+    surfaces).
+
+    Returns ``(key, n_rows, row_share, skew_factor, rank)``:
+    ``skew_factor`` = key rows / mean rows per key (1.0 = average key).
+
+    Scale shape: one count aggregate on the key (the same shuffle the
+    diagnosed join would do, but map-side reduced), one scalar totals row,
+    and an ``orderBy().limit()`` top-n (TakeOrderedAndProject — no global
+    window over the key vocabulary); the ranked frame is ``top_n`` rows,
+    so the rank window is a deliberate tiny single task. round(·, 6) and
+    (count desc, key asc) tie order keep it oracle-portable.
+    """
+    from pyspark.sql import Window
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("_t"), F.count(F.lit(1)).alias("_k")
+    ).collect()[0]
+    total, nkeys = int(tot["_t"] or 0), int(tot["_k"] or 0)
+    if total == 0:
+        return counts.select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.lit(0.0).alias("row_share"),
+            F.lit(0.0).alias("skew_factor"),
+            F.lit(0).cast("long").alias("rank"),
+        )
+    mean = total / nkeys
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "key",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.lit(float(total)), 6).alias("row_share"),
+            F.round(F.col("n_rows") / F.lit(float(mean)), 6).alias("skew_factor"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def b3_scores(
     pred: DataFrame,
     truth: DataFrame,

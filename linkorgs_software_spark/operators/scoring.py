@@ -79,3 +79,57 @@ def score_pairs(
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         scored = scored.filter(F.col(DIST_COL) <= F.lit(float(max_dist)))
     return scored
+
+
+def explain_pairs(
+    pairs: DataFrame,
+    cfg: LinkConfig,
+    *,
+    name_x: str = "name_x",
+    name_y: str = "name_y",
+    measures: tuple = ("jaccard", "levenshtein", "jw", "osa"),
+) -> DataFrame:
+    """Match EXPLAINABILITY surface: for each raw name pair, the
+    normalized forms, the blocking evidence (shared / total trigram
+    counts and whether the pair would survive the >= ceil(5%) blocking
+    rule), and the full panel of distances — what an ER practitioner
+    reads to understand why a pair did (or did not) match, and to pick
+    thresholds. A debugging/triage tool, not a pipeline stage: run it on
+    a HANDFUL of pairs (it scores every requested measure per row).
+    """
+    from ..functions.normalize import normalize_expr
+    from ..functions.qgrams import qgram_array_expr
+
+    nx = normalize_expr(
+        name_x,
+        to_lower=cfg.to_lower,
+        norm_space=cfg.norm_space,
+        remove_punct=cfg.remove_punct,
+    )
+    ny = normalize_expr(
+        name_y,
+        to_lower=cfg.to_lower,
+        norm_space=cfg.norm_space,
+        remove_punct=cfg.remove_punct,
+    )
+    d = pairs.withColumn("name_norm_x", nx).withColumn("name_norm_y", ny)
+    gx = F.array_distinct(qgram_array_expr("name_norm_x", 3, tails=False))
+    gy = F.array_distinct(qgram_array_expr("name_norm_y", 3, tails=False))
+    d = (
+        d.withColumn("_gx", gx)
+        .withColumn("_gy", gy)
+        .withColumn("n_grams_x", F.size("_gx"))
+        .withColumn("n_grams_y", F.size("_gy"))
+        .withColumn("shared_grams", F.size(F.array_intersect("_gx", "_gy")))
+        .withColumn(
+            "would_block",
+            F.col("shared_grams")
+            >= F.ceil(F.lit(float(cfg.min_shared_frac)) * F.col("n_grams_x")),
+        )
+    )
+    for m in measures:
+        d = d.withColumn(
+            f"dist_{m}",
+            distance_expr(m, "name_norm_x", "name_norm_y", qgram=cfg.qgram),
+        )
+    return d.drop("_gx", "_gy")

@@ -171,3 +171,37 @@ def test_b3_merged_everything_has_low_precision(spark):
     row = b3_scores(pred, truth).collect()[0]
     assert row.b3_recall == 1.0
     assert row.b3_precision == round(4.0 / 20.0, 6)  # each record: 4/20
+
+
+def test_skew_profile_surfaces_heavy_keys(spark):
+    """A viral key dominates the report with the right share and factor;
+    tie order is deterministic; top_n caps the output."""
+    from linkorgs_software_spark.operators.assess import skew_profile
+
+    rows = [(i, "viral") for i in range(80)] + [
+        (100 + i, f"k{i % 10}") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, key string")
+    out = skew_profile(df, "key", top_n=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top.key == "viral" and top.n_rows == 80
+    assert top.row_share == 0.8
+    # 11 distinct keys, mean 100/11 rows -> factor = 80/(100/11) = 8.8
+    assert top.skew_factor == round(80 / (100 / 11), 6)
+    # remaining keys tie at 2 rows -> lexicographic order
+    assert [r.key for r in out[1:]] == ["k0", "k1"]
+
+
+def test_skew_profile_composite_key_and_empty(spark):
+    from linkorgs_software_spark.operators.assess import skew_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")], "id long, k1 string, k2 string"
+    )
+    out = {r.key: r.n_rows for r in skew_profile(df, ["k1", "k2"]).collect()}
+    assert out == {"a|x": 2, "b|y": 1}
+    empty = skew_profile(
+        spark.createDataFrame([], "id long, key string"), "key"
+    )
+    assert empty.count() == 0

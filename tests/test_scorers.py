@@ -140,3 +140,26 @@ def test_cosine_expr(spark):
     assert vals[0] == pytest.approx(1.0, abs=1e-6)
     assert vals[1] == pytest.approx(0.0, abs=1e-6)
     assert vals[2] == 0.0  # zero-vector convention
+
+
+def test_explain_pairs_debug_surface(spark):
+    """The explainability view: identical pair scores 0 on every measure
+    and would block; a disjoint pair shows jaccard 1, no shared grams,
+    and would NOT block; normalization evidence is visible."""
+    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.operators.scoring import explain_pairs
+
+    pairs = spark.createDataFrame(
+        [("Acme Corp.", "acme corp"), ("Acme Corp.", "zzz qqq vvv")],
+        "name_x string, name_y string",
+    )
+    out = {r.name_y: r for r in explain_pairs(pairs, LinkConfig()).collect()}
+    same = out["acme corp"]
+    assert same.name_norm_x == same.name_norm_y == "acme corp"
+    assert same.would_block and same.shared_grams == same.n_grams_x
+    assert same.dist_jaccard == 0.0 and same.dist_levenshtein == 0.0
+    assert same.dist_jw == 0.0 and same.dist_osa == 0.0
+    diff = out["zzz qqq vvv"]
+    assert diff.shared_grams == 0 and not diff.would_block
+    assert diff.dist_jaccard == 1.0
+    assert diff.dist_levenshtein > 0
