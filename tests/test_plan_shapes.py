@@ -264,3 +264,19 @@ def test_round5_ops_plans_have_no_global_window_or_cartesian(spark, tmp_path):
         plan = _plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+def test_link_many_plan_is_distributed(spark):
+    """The N-way resolution plan must stay clean: no cartesian product
+    (every pairwise join is the blocked gram equi-join), no per-row
+    Python, and no single-partition exchange anywhere."""
+    from linkorgs_software_spark import LinkConfig, link_many
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    a = part.selectExpr("p_name as name").distinct()
+    b = part.selectExpr("p_name || ' ' || p_brand as name").distinct()
+    c = part.selectExpr("upper(p_name) as name").distinct()
+    plan = _plan(link_many([a, b, c], LinkConfig(), max_dist=0.5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
