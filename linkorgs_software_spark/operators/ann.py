@@ -94,6 +94,55 @@ def recommended_n_planes(
     return max(lo, min(hi, math.ceil(math.log2(max(2.0, n_rows / target_bucket_rows)))))
 
 
+def lsh_occupancy_guard(
+    n_rows: int,
+    *,
+    n_planes: int,
+    num_tables: int,
+    target_bucket_rows: int = 16,
+    warn_factor: float = 4.0,
+    context: str = "",
+) -> float:
+    """Warn when a sign-LSH bucket vocabulary is over-occupied for its row
+    count — the streaming-side guardrail for the round-5 measured occupancy
+    law (``recommended_n_planes``): the vocabulary is FIXED at
+    ``num_tables * 2**n_planes`` buckets, so occupancy (and with it
+    self/history-join candidate volume, quadratically) grows linearly with
+    the rows hashed into it. ``recommended_n_planes`` sizes batch jobs
+    up-front, but a long-running stream is pinned to its start-time plane
+    count (bucket ids must be stream-constant for cross-batch candidates to
+    mean anything) — this guard is how such a stream finds out its plane
+    count has been outgrown.
+
+    Uses the VOCABULARY lower bound ``n_rows / vocab`` for mean occupancy —
+    needs only a row count (no distinct-groups aggregate over history), and
+    is tight exactly in the saturated regime where the law bites. Returns
+    the bound; emits a ``RuntimeWarning`` naming the plane count to restart
+    the stream with when it exceeds ``warn_factor * target_bucket_rows``.
+    """
+    import warnings
+
+    vocab = max(1, num_tables) * (1 << max(0, int(n_planes)))
+    occ = n_rows / float(vocab)
+    if occ > warn_factor * target_bucket_rows:
+        rec = recommended_n_planes(
+            max(1, n_rows // max(1, num_tables)),
+            target_bucket_rows=target_bucket_rows,
+        )
+        warnings.warn(
+            f"sign-LSH bucket occupancy {occ:.1f} rows/bucket "
+            f"({context or 'stream'}: {n_rows} rows over {vocab} buckets at "
+            f"n_planes={n_planes}) exceeds {warn_factor}x the "
+            f"{target_bucket_rows}-row target; candidate volume grows "
+            f"quadratically with occupancy (measured 10x scale run) — "
+            f"restart the stream with n_planes>={rec} "
+            f"(ann.recommended_n_planes)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return occ
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim)).astype(np.float64)
@@ -194,8 +243,10 @@ def lsh_buckets(
       sign bits as a single matmul — 2.4x faster wall-clock at 150k
       vectors on 32 splits (22x on one split: the per-row expression cost
       dominates unsplit scans), identical bucket ids on every fixture
-      measured. The right kernel for ANN-scale corpora where candidates
-      are exact-verified downstream anyway.
+      measured — though NOT guaranteed bit-identical: see
+      ``_lsh_buckets_numpy`` for the near-zero-dot and NULL-vector
+      divergences (both recall-only). The right kernel for ANN-scale
+      corpora where candidates are exact-verified downstream anyway.
     """
     if impl == "numpy":
         return _lsh_buckets_numpy(
@@ -233,7 +284,18 @@ def _lsh_buckets_numpy(
 ) -> DataFrame:
     """Arrow-batched bucket projection: one einsum over the whole batch
     computes every table's sign bits at once (planes snapshot into the UDF
-    closure — workers never re-derive them)."""
+    closure — workers never re-derive them).
+
+    Parity caveats vs ``impl="catalyst"`` (stated, not papered over):
+    NULL or wrong-width vectors produce a NULL code array here, and the
+    downstream ``posexplode`` drops those rows from the bucket frame —
+    they simply generate no candidates. And einsum's batched summation
+    order can differ from the catalyst expression's sequential left fold,
+    so a dot product within float rounding of zero can flip a sign bit
+    between the two impls (never observed on the measured fixtures, but
+    possible). Both effects are RECALL-only: every candidate is exact
+    re-scored downstream, so a divergent bucket can miss a pair, never
+    admit a wrong one."""
     from pyspark.sql.types import ArrayType, LongType
 
     pm = np.stack(
@@ -244,9 +306,22 @@ def _lsh_buckets_numpy(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _codes(v: pd.Series) -> pd.Series:
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        bits = np.einsum("tpd,nd->ntp", pm, X) > 0
-        return pd.Series(list((bits.astype(np.int64) << shifts).sum(axis=2)))
+        vals = v.to_numpy()
+        mask = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
+        )
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            X = np.stack(vals[mask]).astype(np.float64)
+            bits = np.einsum("tpd,nd->ntp", pm, X) > 0
+            codes = (bits.astype(np.int64) << shifts).sum(axis=2)
+            # element-wise into the object array: a direct masked assign
+            # would coerce the per-row code arrays into one 2-D block
+            boxed = np.empty(len(codes), dtype=object)
+            boxed[:] = list(codes)
+            out[mask] = boxed
+        return pd.Series(list(out))
 
     return (
         df.withColumn("_bks", _codes(vec_col))

@@ -15,6 +15,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import register_cache
+
 
 @dataclass(frozen=True)
 class MatchAssessment:
@@ -153,8 +155,15 @@ def skew_profile(
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
-    counts = df.select(key.alias("key")).groupBy("key").agg(
-        F.count(F.lit(1)).alias("n_rows")
+    # persisted + registered (cache.release_caches lifecycle): the eager
+    # totals collect below and the returned top-n plan otherwise each run
+    # the full key-count shuffle — doubling the cost of the very shuffle
+    # this diagnostic exists to measure
+    counts = register_cache(
+        df.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
     )
     tot = counts.agg(
         F.sum("n_rows").alias("_t"), F.count(F.lit(1)).alias("_k")

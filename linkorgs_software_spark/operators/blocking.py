@@ -44,7 +44,9 @@ def gram_index(df: DataFrame, id_col: str, cfg: LinkConfig) -> DataFrame:
     )
 
 
-def apply_df_cap(index: DataFrame, gram_col: str, cap: int) -> DataFrame:
+def apply_df_cap(
+    index: DataFrame, gram_col: str | list[str] | tuple[str, ...], cap: int
+) -> DataFrame:
     """Drop grams whose posting list exceeds ``cap`` (skew/stop-gram guard).
 
     Shared by every blocking-style self/pair join in the engine (trigram
@@ -52,12 +54,17 @@ def apply_df_cap(index: DataFrame, gram_col: str, cap: int) -> DataFrame:
     operators/corpus.py): a key whose posting list squares inside one join
     task is the canonical 100 TB skew-killer, so the cap is applied before
     *any* key-equality pair generation.
+
+    ``gram_col`` may be one column name or a list of them — a composite key
+    (e.g. LSH ``(table_id, bucket)``) counts and semi-joins on all columns
+    directly, so call sites never materialize a throwaway concatenated key.
     """
-    counts = index.groupBy(gram_col).agg(F.count(F.lit(1)).alias("_df"))
-    keep = counts.filter(F.col("_df") <= cap).select(gram_col)
+    cols = [gram_col] if isinstance(gram_col, str) else list(gram_col)
+    counts = index.groupBy(*cols).agg(F.count(F.lit(1)).alias("_df"))
+    keep = counts.filter(F.col("_df") <= cap).select(*cols)
     # keep-list is small by construction (it is the *capped* vocabulary);
     # left_semi keeps the index lean before the big join.
-    return index.join(F.broadcast(keep), gram_col, "left_semi")
+    return index.join(F.broadcast(keep), cols, "left_semi")
 
 
 def candidate_pairs(

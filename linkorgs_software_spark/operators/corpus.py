@@ -363,16 +363,19 @@ def strip_boilerplate_spans(
     it: the ``collect_set`` funnels the whole list through one reducer into
     one broadcast row, so a caller who passes the full ``duplicated_spans``
     vocabulary (hundreds of millions of rows at web scale) would OOM a
-    single task silently. The count check is one action on the (by
-    contract) tiny frame; oversize input fails fast with a clear error.
+    single task silently. The guard counts ``limit(max_spans + 1)`` — a
+    LocalLimit that short-circuits the span plan as soon as enough rows
+    exist — so an in-contract top-N list never pays a full extra
+    execution of its own (typically explode + groupBy + window) plan just
+    to be validated; oversize input still fails fast with a clear error.
     """
     from ..functions.text import tokens_expr
 
-    n_spans = spans.count()
+    n_spans = spans.limit(max_spans + 1).count()
     if n_spans > max_spans:
         raise ValueError(
-            f"strip_boilerplate_spans got {n_spans} spans (> max_spans="
-            f"{max_spans}): the span list is broadcast as ONE array row and "
+            f"strip_boilerplate_spans got > max_spans={max_spans} spans: "
+            "the span list is broadcast as ONE array row and "
             "must stay small — pass a top-N triage list "
             "(top_boilerplate_spans), or raise max_spans deliberately"
         )
@@ -1244,8 +1247,7 @@ def _embedding_lsh_candidates(
     # and feeds the cap count plus both self-join sides — compute it once
     b = register_cache(b.persist(StorageLevel.MEMORY_AND_DISK_DESER))
     if max_bucket_df is not None:
-        b = b.withColumn("_tb", F.concat_ws(":", "table_id", "bucket"))
-        b = apply_df_cap(b, "_tb", max_bucket_df).drop("_tb")
+        b = apply_df_cap(b, ["table_id", "bucket"], max_bucket_df)
     probed = expand_probes(b, n_planes=n_planes, multiprobe=multiprobe)
     return (
         probed.alias("a")

@@ -29,7 +29,7 @@ from ..config import LinkConfig
 from ..functions.normalize import NORM_COL, prepare_side
 from ..operators.blocking import candidate_pairs
 from ..operators.cluster import connected_components
-from ..operators.scoring import score_pairs
+from ..operators.scoring import DIST_COL, score_pairs
 
 
 def _node_key(side: int, norm_col) -> F.Column:
@@ -42,6 +42,7 @@ def link_many(
     *,
     by: str | Sequence[str] = "name",
     max_dist: float = 0.5,
+    return_edges: bool = False,
 ) -> DataFrame:
     """Resolve entities across ``sides``: returns one row per distinct
     normalized name per source — ``(side, name, name_norm, entity_id)``,
@@ -52,6 +53,15 @@ def link_many(
     ``by`` is the name column (one string for all sides, or one per
     side). Matching is the fuzzy path at the pinned ``max_dist`` (pairs
     are edges, so no one-to-one pruning — clustering replaces it).
+
+    ``return_edges=True`` returns the ACCEPTED-EDGE frame instead —
+    ``(side_x, side_y, name_norm_x, name_norm_y, stringdist, src, dst)``,
+    one row per accepted cross-source pair with the side indices and the
+    component node keys — so an N-way merge is auditable the same way
+    2-way matches are: feed the (name_norm_x, name_norm_y) pairs to
+    ``operators.scoring.explain_pairs`` for the full per-pair evidence
+    panel, or join ``src``/``dst`` back to the resolved frame's
+    ``entity_id`` to see which edges built a suspicious mega-entity.
     """
     if len(sides) < 2:
         raise ValueError("link_many needs at least two sources")
@@ -92,12 +102,22 @@ def link_many(
                 max_dist=max_dist,
             )
             e = scored.select(
+                F.lit(i).cast("int").alias("side_x"),
+                F.lit(j).cast("int").alias("side_y"),
+                "name_norm_x",
+                "name_norm_y",
+                DIST_COL,
                 _node_key(i, F.col("name_norm_x")).alias("src"),
                 _node_key(j, F.col("name_norm_y")).alias("dst"),
-            ).distinct()
+            ).dropDuplicates(["src", "dst"])
             edges = e if edges is None else edges.unionByName(e)
 
-    comp = connected_components(edges, src="src", dst="dst")
+    if return_edges:
+        return edges
+
+    comp = connected_components(
+        edges.select("src", "dst"), src="src", dst="dst"
+    )
     return (
         nodes.join(comp.withColumnRenamed("id", "_node"), "_node", "left")
         .select(

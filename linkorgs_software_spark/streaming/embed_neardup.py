@@ -31,9 +31,9 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import scoped_caches
+from ..cache import register_cache, scoped_caches
 from ..functions.embedding import cosine_sim_expr
-from ..operators.ann import expand_probes, lsh_buckets
+from ..operators.ann import expand_probes, lsh_buckets, lsh_occupancy_guard
 from ..operators.blocking import apply_df_cap
 from .dedup import _prior_history_paths
 from .history import (
@@ -60,6 +60,7 @@ def embed_neardup_batch(
     num_history_buckets: int = 64,
     multiprobe: int = 0,
     compact_every: int | None = None,
+    occupancy_warn_factor: float | None = 4.0,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
 
@@ -81,6 +82,17 @@ def embed_neardup_batch(
     batch into one snapshot partition once ``compact_every`` of them
     accumulate — same lifecycle bound as the text sibling (file count,
     MSCK recovery, and scan metadata stay O(compact_every)).
+
+    ``occupancy_warn_factor``: a stream is pinned to its start-time
+    ``n_planes`` (bucket ids must be stream-constant), so as kept history
+    accumulates into the FIXED ``num_tables * 2**n_planes`` vocabulary,
+    mean occupancy — and with it candidate volume, quadratically — grows
+    (the round-5 measured law behind ``ann.recommended_n_planes``). Each
+    batch therefore checks the vocabulary-bound occupancy of
+    batch + kept history rows and emits a ``RuntimeWarning`` naming the
+    plane count to restart the stream with when it exceeds
+    ``occupancy_warn_factor`` x the 16-rows/bucket target (one cheap row
+    count per batch; ``None`` disables).
     """
     with scoped_caches():
         _embed_neardup_batch_inner(
@@ -98,6 +110,7 @@ def embed_neardup_batch(
             num_history_buckets=num_history_buckets,
             multiprobe=multiprobe,
             compact_every=compact_every,
+            occupancy_warn_factor=occupancy_warn_factor,
         )
 
 
@@ -117,6 +130,7 @@ def _embed_neardup_batch_inner(
     num_history_buckets: int,
     multiprobe: int,
     compact_every: int | None,
+    occupancy_warn_factor: float | None = 4.0,
 ) -> None:
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     emb_dir = os.path.join(out_dir, "history", "embeddings")
@@ -138,15 +152,27 @@ def _embed_neardup_batch_inner(
         batch_df.select(F.col(id_col), F.col(vec_col)), **lsh_kw
     ).select(F.col(id_col).alias("_id"), "table_id", "bucket").persist()
     try:
+        # materialize the persist AND take the cap's free no-op guard in one
+        # action: new_b has exactly num_tables rows per vector, so no single
+        # (table_id, bucket) group can exceed n_new / num_tables — for any
+        # normally-sized micro-batch the df-cap is provably a no-op and its
+        # aggregate + broadcast-semi-join subtree (which sits on BOTH sides
+        # of the self-join and would otherwise be re-evaluated action after
+        # action — the round-5 1.6x regression) is skipped entirely.
+        n_new = new_b.count()
         # intra-batch: drop the larger id of every verified near-dup pair;
         # df-cap the EXACT buckets first (text-sibling symmetry — a viral
         # vector in one oversized micro-batch must not square inside one
         # bucket task), then probe-expand ONE self-join side only (see
         # docstring; probes can never resurrect an over-cap bucket)
         b_in = new_b
-        if max_bucket_df is not None:
-            b_in = b_in.withColumn("_k", F.concat_ws(":", "table_id", "bucket"))
-            b_in = apply_df_cap(b_in, "_k", max_bucket_df).drop("_k")
+        if max_bucket_df is not None and n_new > max_bucket_df * max(1, num_tables):
+            # oversized batch: the cap does real work — persist ITS output
+            # too (scoped_caches releases it at batch end), or the capped
+            # subtree is recomputed once per self-join side per action
+            b_in = register_cache(
+                apply_df_cap(new_b, ["table_id", "bucket"], max_bucket_df).persist()
+            )
         probed_in = expand_probes(b_in, n_planes=n_planes, multiprobe=multiprobe)
         cand_in = (
             probed_in.alias("a")
@@ -164,13 +190,31 @@ def _embed_neardup_batch_inner(
             .select(F.col("_id_b").alias(id_col))
             .distinct()
         )
-        survivors = batch_df.join(dropped_in, id_col, "left_anti")
+        # persisted like the text sibling's survivors: the frame appears
+        # three times in fresh's lineage (anti-join base, history semi-join
+        # source, verify side), and without the persist the whole intra-batch
+        # verify subtree is recomputed at each occurrence
+        survivors = register_cache(
+            batch_df.join(dropped_in, id_col, "left_anti").persist()
+        )
 
         # cross-batch: candidates from the PRIOR bucket history, verified by
         # exact cosine against the stored embeddings
         fresh = survivors
         hist_tbl = history_table_name(out_dir, "embuckets")
         prior = read_prior_history(spark, hist_tbl, buckets_dir, batch_id)
+        if occupancy_warn_factor is not None:
+            # one cheap row count per batch: warn (with the restart plane
+            # count) when batch + kept history have outgrown the fixed
+            # 2**n_planes bucket vocabulary — see the public docstring
+            hist_rows = prior.count() if prior is not None else 0
+            lsh_occupancy_guard(
+                n_new + hist_rows,
+                n_planes=n_planes,
+                num_tables=num_tables,
+                warn_factor=occupancy_warn_factor,
+                context=f"embed near-dup stream batch {batch_id}",
+            )
         # embeddings slice is written in lockstep with the bucket table; an
         # empty prior listing = no PRIOR batch (first-batch replay) — skip
         prior_emb = _prior_history_paths(spark, emb_dir, batch_id)
@@ -179,10 +223,7 @@ def _embed_neardup_batch_inner(
                 "table_id", "bucket", F.col("vec_id").alias("_old_id")
             )
             if max_bucket_df is not None:
-                old_b = old_b.withColumn(
-                    "_k", F.concat_ws(":", "table_id", "bucket")
-                )
-                old_b = apply_df_cap(old_b, "_k", max_bucket_df).drop("_k")
+                old_b = apply_df_cap(old_b, ["table_id", "bucket"], max_bucket_df)
             surv_b = new_b.join(
                 survivors.select(F.col(id_col).alias("_id")), "_id", "left_semi"
             )
@@ -248,6 +289,7 @@ def incremental_embed_neardup(
     num_history_buckets: int = 64,
     multiprobe: int = 0,
     compact_every: int | None = None,
+    occupancy_warn_factor: float | None = 4.0,
     available_now: bool = False,
 ):
     """Start a streaming query keeping only vectors that are not cosine
@@ -270,6 +312,7 @@ def incremental_embed_neardup(
             num_history_buckets=num_history_buckets,
             multiprobe=multiprobe,
             compact_every=compact_every,
+            occupancy_warn_factor=occupancy_warn_factor,
         )
 
     writer = (

@@ -316,6 +316,14 @@ def maybe_compact(
     ``compact_plain_history``) and unaffected by tiering: snapshots only
     ever contain committed batches."""
     every = max(2, int(every))  # a 1-batch "fold" is a pointless rewrite
+    if bucketed is None and not plain_paths:
+        raise ValueError(
+            "maybe_compact needs a bucketed (table, path) and/or plain_paths"
+        )
+    # The FIRST slice (the bucketed path, else plain_paths[0]) is the
+    # trigger probe; folds then apply to ALL slices, each of which re-lists
+    # its own partitions — slices are written in lockstep per batch, so one
+    # probe listing decides for all of them.
     probe = bucketed[1] if bucketed is not None else plain_paths[0]
     ids = list_batch_ids(spark, probe)
     olds = [b for b in ids if 0 <= b < watermark]

@@ -811,6 +811,34 @@ def test_lsh_buckets_numpy_impl_matches_catalyst(spark):
     assert a == b and len(a) == emb.count() * 4
 
 
+def test_lsh_buckets_numpy_tolerates_null_and_ragged_vectors(spark):
+    """NULL / wrong-width vectors must not crash the Arrow kernel (ADVICE
+    r5): they produce NO bucket rows (posexplode of a NULL code array) —
+    a documented recall-only divergence from the catalyst impl; valid rows
+    still bucket identically to catalyst."""
+    from linkorgs_software_spark.operators.ann import lsh_buckets
+
+    rows = [
+        (1, [float(i) for i in range(8)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # ragged: width != dim
+        (4, [float(-i) for i in range(8)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(vec_col="embedding", dim=8, n_planes=4, num_tables=2, seed=7)
+    got = {
+        (r.vec_id, r.table_id, r.bucket)
+        for r in lsh_buckets(emb, impl="numpy", **kw).collect()
+    }
+    assert {v for v, _, _ in got} == {1, 4}  # null/ragged drop, no crash
+    valid = emb.filter("vec_id in (1, 4)")
+    want = {
+        (r.vec_id, r.table_id, r.bucket)
+        for r in lsh_buckets(valid, **kw).collect()
+    }
+    assert got == want
+
+
 def test_recommended_n_planes_scale_rule():
     """The measured occupancy rule: planes grow with log2(corpus), clamped;
     the 10x scale-run sizes reproduce the measured good configs."""

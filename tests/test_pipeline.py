@@ -448,3 +448,36 @@ def test_link_many_three_sources_transitive_entities(spark):
     assert min(acme_ids) == "00:acme corporation"
     # every (side, name_norm) appears exactly once
     assert len(rows) == 9
+
+
+def test_link_many_return_edges_audit_surface(spark):
+    """``return_edges=True`` exposes the accepted scored pairs with side
+    indices and node keys — the N-way audit surface: every edge ties back
+    to the resolved entity frame via src/dst, and its distance respects the
+    pinned max_dist."""
+    from linkorgs_software_spark import LinkConfig, link_many
+
+    a = spark.createDataFrame(
+        [("Acme Corporation",), ("Lonely Org A",)], "name string"
+    )
+    b = spark.createDataFrame(
+        [("acme corporation!",), ("Other Co",)], "name string"
+    )
+    c = spark.createDataFrame([("ACME CORPORATION",)], "name string")
+    edges = link_many([a, b, c], LinkConfig(), max_dist=0.4, return_edges=True)
+    assert edges.columns == [
+        "side_x", "side_y", "name_norm_x", "name_norm_y", "stringdist",
+        "src", "dst",
+    ]
+    rows = edges.collect()
+    # acme matches pairwise across all three sources: C(3,2) edges
+    assert {(r.side_x, r.side_y) for r in rows} == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.stringdist <= 0.4 for r in rows)
+    assert all(r.src == f"{r.side_x:02d}:{r.name_norm_x}" for r in rows)
+    assert all(r.dst == f"{r.side_y:02d}:{r.name_norm_y}" for r in rows)
+    # edges join back to the resolved frame: both endpoints share entity_id
+    ent = link_many([a, b, c], LinkConfig(), max_dist=0.4)
+    key2ent = {
+        f"{r.side:02d}:{r.name_norm}": r.entity_id for r in ent.collect()
+    }
+    assert all(key2ent[r.src] == key2ent[r.dst] for r in rows)

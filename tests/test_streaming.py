@@ -312,6 +312,77 @@ def test_incremental_embed_neardup_intra_batch(spark, tmp_path):
     assert kept == [7, 9]  # 8 collapsed into 7
 
 
+def test_embed_neardup_oversized_batch_still_caps(spark, tmp_path):
+    """The round-6 df-cap no-op guard (skip when batch rows <= max_bucket_df)
+    must NOT disable the cap on a genuinely oversized micro-batch: a flood of
+    identical vectors exceeding the cap may not pair-join itself (all flood
+    rows kept — the over-cap bucket is excluded from candidates), while a
+    planted near-dup pair in a small bucket still collapses."""
+    import numpy as np
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+
+    rng = np.random.RandomState(11)
+    v = rng.normal(size=16)
+    rows = [(i, v) for i in range(120)]  # identical flood, one bucket
+    w = rng.normal(size=16)
+    rows += [(1000, w), (1001, w + rng.normal(scale=1e-3, size=16))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in u]) for i, u in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "ecap_out")
+    embed_neardup_batch(df, 0, out, dim=16, threshold=0.99, max_bucket_df=50)
+    kept = sorted(r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    assert set(range(120)) <= set(kept)  # flood bucket over cap: no self-pairs
+    assert 1000 in kept and 1001 not in kept  # small bucket still dedups
+
+
+def test_lsh_occupancy_guard_thresholds():
+    """Pure-function guardrail: silent under the occupancy threshold, a
+    RuntimeWarning naming the restart plane count above it."""
+    import warnings
+
+    from linkorgs_software_spark.operators.ann import lsh_occupancy_guard
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning would fail the test
+        occ = lsh_occupancy_guard(1000, n_planes=8, num_tables=4)
+    assert occ < 1.0  # 1000 rows over 1024 buckets
+    with pytest.warns(RuntimeWarning, match=r"n_planes>=\d+"):
+        occ = lsh_occupancy_guard(100_000, n_planes=4, num_tables=2)
+    assert occ > 64.0
+
+
+def test_embed_neardup_stream_warns_when_planes_outgrown(spark, tmp_path):
+    """A stream started at a too-small n_planes must tell the operator:
+    an over-occupied micro-batch (vocabulary bound > 4x the 16-row target)
+    emits the restart warning; processing still completes."""
+    import numpy as np
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(600)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "eocc_out")
+    with pytest.warns(RuntimeWarning, match="restart the stream with n_planes"):
+        embed_neardup_batch(
+            df, 0, out, dim=8, n_planes=2, num_tables=2,
+            threshold=0.999, max_bucket_df=100,
+        )
+    assert spark.read.parquet(f"{out}/docs/batch_id=0").count() > 0
+
+
+def test_maybe_compact_requires_a_history_slice(spark):
+    from linkorgs_software_spark.streaming.history import maybe_compact
+
+    with pytest.raises(ValueError, match="plain_paths"):
+        maybe_compact(spark, watermark=3, every=2)
+
+
 def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg: a window emits once its end passes the
     watermark, and an event arriving later than the watermark is dropped —
