@@ -970,6 +970,39 @@ def _q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate_spans(docs, spans, k=8)
 
 
+def _q_repetition_profile(spark, sf_dir):
+    """Within-doc repetition signals (Gopher duplicate-n-gram family):
+    distinct-token ratio, heaviest-token share, duplicated-bigram share —
+    counted per (doc, gram), never squared inside a document."""
+    from linkorgs_software_spark.operators.corpus import repetition_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_profile(docs)
+
+
+def _q_pack_chunks(spark, sf_dir):
+    """Sequence packing (concat-and-chunk pretraining batches): cumulative
+    token offsets + chunk assignment via a DISTRIBUTED prefix sum (bucket
+    partials + tiny bucket-offset window), value-identical to the oracle's
+    naive global window."""
+    from linkorgs_software_spark.operators.corpus import pack_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_chunks(docs, budget=512)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Quota sampling: 10 docs per source, ranked by a content-keyed md5 —
+    the equal-budget curation sampler (plain Bernoulli inherits crawl
+    skew). Stable under repartition and engine-portable."""
+    from linkorgs_software_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, 10, strata_cols=("source",), seed=42, key_cols=("doc_id",)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking-stage quality metrics (pairs completeness + reduction
     ratio) of the trigram candidate generator against the derivable truth
@@ -1104,6 +1137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _q_skew_profile,
         "top_spans": _q_top_spans,
         "strip_boilerplate": _q_strip_boilerplate,
+        "repetition_profile": _q_repetition_profile,
+        "pack_chunks": _q_pack_chunks,
+        "stratified_sample": _q_stratified_sample,
         # ---- tail: scale-path recall variants of already-oracled ops ----
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_neardup_auto": _q_embedding_neardup_auto,
@@ -1778,6 +1814,42 @@ select doc_id,
   len(toks)::bigint as n_tokens,
   (len(toks) - len(kept))::bigint as n_removed
 from k
+""",
+        "repetition_profile": f"""
+with t as (select doc_id, {toks} as toks from documents),
+tok as (select doc_id, unnest(toks) as tk from t),
+tc as (select doc_id, tk, count(*) as c from tok group by 1, 2),
+ts as (select doc_id, sum(c) as n, count(*) as d, max(c) as m from tc group by 1),
+bg as (select doc_id, unnest(
+  case when len(toks) >= 2 then
+    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+  else []::varchar[] end) as g from t),
+bc as (select doc_id, g, count(*) as c from bg group by 1, 2),
+bs as (select doc_id, sum(c) as bn,
+       sum(case when c > 1 then c else 0 end) as bd from bc group by 1)
+select t.doc_id, coalesce(n, 0)::bigint as n_tokens,
+  round(case when n > 0 then d::double / n else 0.0 end, 6)
+    as distinct_token_ratio,
+  round(case when n > 0 then m::double / n else 0.0 end, 6)
+    as top_token_share,
+  round(case when bn > 0 then bd::double / bn else 0.0 end, 6)
+    as dup_bigram_share
+from t left join ts using (doc_id) left join bs using (doc_id)
+""",
+        "pack_chunks": f"""
+with t as (select doc_id, len({toks})::bigint as n_tokens from documents),
+o as (select doc_id, n_tokens,
+  coalesce(sum(n_tokens) over (order by doc_id
+    rows between unbounded preceding and 1 preceding), 0)::bigint
+    as start_offset from t)
+select doc_id, n_tokens, start_offset,
+  floor(start_offset::double / 512)::bigint as chunk_id from o
+""",
+        "stratified_sample": """
+with r as (select doc_id, lang, source, n_chars,
+  row_number() over (partition by source
+    order by md5('42:' || doc_id::varchar) asc) as rn from documents)
+select doc_id, lang, source, n_chars from r where rn <= 10
 """,
         "blocking_quality": f"""
 {_BLOCKED_CTE},

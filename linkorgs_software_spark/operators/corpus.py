@@ -1261,3 +1261,134 @@ def _embedding_lsh_candidates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def repetition_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher-rule family (Rae et
+    al. 2021 §A1.1): machine-generated and template spam repeats itself
+    INSIDE one document, which none of the cross-document dedup family can
+    see. Returns one row per doc: ``(doc_id, n_tokens,
+    distinct_token_ratio, top_token_share, dup_bigram_share)`` —
+    ``dup_bigram_share`` is the fraction of bigram OCCURRENCES whose bigram
+    appears more than once in the doc (the Gopher duplicate-n-gram
+    fraction), ``top_token_share`` the heaviest single token's share.
+
+    Scale shape: explode tokens once and bigrams once, count per (doc,
+    gram) — a map-side-combinable aggregate keyed by doc — then one per-doc
+    aggregate; NO per-doc O(n²) array lambdas (a list_filter-per-element
+    formulation would square inside long documents), no windows, no joins
+    except the final narrow doc-id re-attach that restores zero-token docs.
+    All ratios are round(·, 6) integer-ratio doubles for oracle bit-parity.
+    """
+    from ..functions.text import tokens_expr
+
+    base = df.select(
+        F.col(id_col), tokens_expr(F.lower(F.col(text_col))).alias("_toks")
+    )
+    tok = base.select(id_col, F.explode("_toks").alias("_t"))
+    tc = tok.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    tstats = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_d"),
+        F.max("_c").alias("_m"),
+    )
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(id_col, F.explode(bigrams).alias("_g"))
+    bc = bg.groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("_c").alias("_bn"),
+        F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(F.lit(0))).alias("_bd"),
+    )
+    zero = F.lit(0.0)
+    return (
+        base.select(id_col)
+        .join(tstats, id_col, "left")
+        .join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(F.col("_n") > 0, F.col("_d").cast("double") / F.col("_n")).otherwise(zero), 6
+            ).alias("distinct_token_ratio"),
+            F.round(
+                F.when(F.col("_n") > 0, F.col("_m").cast("double") / F.col("_n")).otherwise(zero), 6
+            ).alias("top_token_share"),
+            F.round(
+                F.when(F.col("_bn") > 0, F.col("_bd").cast("double") / F.col("_bn")).otherwise(zero), 6
+            ).alias("dup_bigram_share"),
+        )
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    bucket_size: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a cleaned
+    corpus into fixed-size pretraining sequences (GPT-style: concatenate
+    the token stream in a canonical document order, cut every ``budget``
+    tokens). Returns ``(doc_id, n_tokens, start_offset, chunk_id)``:
+    ``start_offset`` is the document's cumulative token offset in the
+    ``id_col``-ordered stream and ``chunk_id = floor(start_offset /
+    budget)`` — the training chunk its first token lands in; a writer
+    groups by ``chunk_id`` to emit sequences.
+
+    Scale shape — a DISTRIBUTED prefix sum, because the naive formulation
+    (``sum() over (order by id)``) is a single-partition global window,
+    the exact shape the top_spans audit banned from corpus-sized frames:
+    docs group into ordered buckets of ``bucket_size`` ids; per-bucket
+    token totals (one map-side-combinable aggregate) prefix-sum on the
+    TINY bucket-totals frame (corpus/bucket_size rows — the one deliberate
+    single-task window); bucket offsets broadcast-join back; the per-doc
+    cumulative sum runs partitioned BY BUCKET. Every corpus-sized
+    operation is per-bucket parallel; identical values to the naive global
+    window, which is what the DuckDB oracle runs.
+    """
+    from ..functions.text import token_count_expr
+
+    if budget <= 0:
+        raise ValueError("pack_chunks needs a positive token budget")
+    d = df.select(
+        F.col(id_col),
+        token_count_expr(text_col).cast("long").alias("n_tokens"),
+        F.floor(F.col(id_col) / F.lit(int(bucket_size))).cast("long").alias("_bk"),
+    )
+    btot = d.groupBy("_bk").agg(F.sum("n_tokens").alias("_bt"))
+    wb = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bk", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long").alias("_boff")
+    )
+    wi = (
+        Window.partitionBy("_bk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(boff), "_bk")
+        .withColumn(
+            "start_offset",
+            (F.col("_boff") + F.coalesce(F.sum("n_tokens").over(wi), F.lit(0))).cast("long"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.floor(F.col("start_offset") / F.lit(int(budget))).cast("long"),
+        )
+        .select(id_col, "n_tokens", "start_offset", "chunk_id")
+    )

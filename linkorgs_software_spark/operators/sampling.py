@@ -49,6 +49,42 @@ def deterministic_sample(
     return df.filter(_unit_hash_expr(_key_expr(df, key_cols), seed) < F.lit(float(fraction)))
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    *,
+    strata_cols=("source",),
+    seed: int = 42,
+    key_cols=None,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum — quota
+    sampling, the curation move that gives every source an equal budget no
+    matter how skewed the crawl is (a web-scale corpus is dominated by a
+    handful of giant domains; a plain Bernoulli sample inherits that skew).
+
+    Selection is content-keyed like every sampler here: rank within the
+    stratum by ``md5(seed || key)`` (hex string order — engine-portable),
+    keep the first n. Stable under repartition/reorder, nested in n (the
+    n=100 sample contains the n=10 sample), and reproducible by the DuckDB
+    oracle bit-for-bit.
+
+    Scale shape: ONE window partitioned by the strata columns — no global
+    window, no join; per-stratum ranking parallelizes across strata. A
+    single pathologically hot stratum ranks inside one task; cap strata
+    cardinality upstream if a stratum exceeds task memory (at that point
+    the quota itself is the wrong tool).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), _key_expr(df, key_cols)))
+    w = Window.partitionBy(*list(strata_cols)).orderBy(h.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(n_per_stratum))
+        .drop("_rn")
+    )
+
+
 def deterministic_split(
     df: DataFrame,
     weights=(0.9, 0.05, 0.05),

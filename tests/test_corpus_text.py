@@ -1025,3 +1025,99 @@ def test_round5_ops_tolerate_null_and_empty_text(spark):
     de = {r.doc_id: r.contaminated for r in decontaminate_flags(docs, bench, k=8).collect()}
     assert set(de) == {1, 2, 3, 4}
     assert de[1] and not (de[2] or de[3] or de[4])
+
+
+def test_stratified_sample_quota_nesting_and_stability(spark):
+    """Quota sampling: exact per-stratum counts (min(n, |stratum|)), the
+    n=2 sample nested inside n=5, and invariance under repartition."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"s{i % 3}" if i < 90 else "tiny") for i in range(93)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out5 = stratified_sample(df, 5, strata_cols=("source",), key_cols=("doc_id",))
+    per = {r.source: r.c for r in out5.groupBy("source").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5, "tiny": 3}  # min(n, size)
+    out2 = stratified_sample(df, 2, strata_cols=("source",), key_cols=("doc_id",))
+    ids5 = {r.doc_id for r in out5.collect()}
+    ids2 = {r.doc_id for r in out2.collect()}
+    assert ids2 <= ids5  # nested samples
+    shuffled = stratified_sample(
+        df.repartition(7), 5, strata_cols=("source",), key_cols=("doc_id",)
+    )
+    assert {r.doc_id for r in shuffled.collect()} == ids5  # content-keyed
+
+
+def test_repetition_profile_signals(spark):
+    """A token-repeating doc scores high top_token_share / low distinct
+    ratio; a doc with a repeated bigram shows dup_bigram_share; empty and
+    single-token docs get zero shares, not NULLs or crashes."""
+    from linkorgs_software_spark.operators.corpus import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "alpha beta gamma delta"),
+            (3, "one two one two three"),
+            (4, ""),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in repetition_profile(docs).collect()}
+    assert r[1].n_tokens == 4 and r[1].top_token_share == 1.0
+    assert r[1].distinct_token_ratio == 0.25
+    assert r[1].dup_bigram_share == 1.0  # "spam spam" x3
+    assert r[2].distinct_token_ratio == 1.0 and r[2].dup_bigram_share == 0.0
+    assert r[3].dup_bigram_share == 0.5  # "one two" twice of 4 bigrams
+    assert r[4].n_tokens == 0 and r[4].top_token_share == 0.0
+    assert r[5].n_tokens == 1 and r[5].dup_bigram_share == 0.0
+
+
+def test_pack_chunks_offsets_and_budget(spark):
+    """Chunk assignment: offsets are the doc_id-ordered cumulative token
+    stream; chunk_id changes exactly at budget boundaries; empty docs take
+    zero space; a doc straddling a boundary belongs to the chunk its FIRST
+    token lands in (concat-and-chunk semantics)."""
+    import pytest
+
+    from linkorgs_software_spark.operators.corpus import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e f g"), (4, "h"), (5, "i j")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_chunks(docs, budget=4).collect()}
+    assert [out[i].start_offset for i in (1, 2, 3, 4, 5)] == [0, 3, 3, 7, 8]
+    assert [out[i].chunk_id for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 2]
+    with pytest.raises(ValueError, match="budget"):
+        pack_chunks(docs, budget=0)
+
+
+def test_pack_chunks_matches_global_window_across_buckets(spark):
+    """The distributed prefix sum must equal the naive global cumsum even
+    when docs span many buckets (tiny bucket_size forces the multi-bucket
+    path at test scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.functions.text import token_count_expr
+    from linkorgs_software_spark.operators.corpus import pack_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r.doc_id: (r.start_offset, r.chunk_id)
+        for r in pack_chunks(docs, budget=512, bucket_size=16).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.doc_id: (r.off, r.off // 512)
+        for r in docs.select(
+            "doc_id", token_count_expr("text").cast("long").alias("nt")
+        )
+        .withColumn("off", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+        .collect()
+    }
+    assert got == want

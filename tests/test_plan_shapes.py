@@ -280,3 +280,31 @@ def test_link_many_plan_is_distributed(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pack_chunks_prefix_sum_is_distributed(spark):
+    """Sequence packing must NOT be the naive global-window cumsum: the
+    only SinglePartition exchange feeds the tiny bucket-totals window
+    (inside a BroadcastExchange subtree), while the corpus-side cumulative
+    window is hash-partitioned by the bucket key. No Python anywhere."""
+    from linkorgs_software_spark.operators.corpus import pack_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pack_chunks(docs, budget=512))
+    assert plan.count("Exchange SinglePartition") == 1
+    # the corpus window is partitioned by _bk (bucket), not global
+    assert re.search(r"windowspecdefinition\(_bk#\d+L, doc_id", plan)
+    assert "BroadcastExchange" in plan  # bucket offsets re-attach by broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_profile_counts_not_lambdas(spark):
+    """The repetition signals must come from explode+aggregate (map-side
+    combinable), not per-doc O(n^2) array lambdas, and stay Python-free."""
+    from linkorgs_software_spark.operators.corpus import repetition_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_profile(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Generate explode") == 2  # tokens once, bigrams once
+    assert "CartesianProduct" not in plan

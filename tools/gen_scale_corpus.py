@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
 N_DOCS_10X = 50_000
 N_VECS_10X = 50_000
+N_NAMES_10X = 20_000
 VOCAB = 10_000
 DIM = 64
 
@@ -70,6 +71,21 @@ def gen_vecs() -> np.ndarray:
     return X
 
 
+_SUFFIXES = ["corp", "inc", "ltd", "gmbh", "llc", "holdings", "group", "co"]
+
+
+def gen_names() -> list:
+    """Deterministic org-like names for the link_many scale run (per-row
+    seeded like the docs, so 1x is exactly the first tenth of 10x)."""
+    names = []
+    for i in range(N_NAMES_10X):
+        rng = np.random.RandomState(3_000_000 + i)
+        toks = [f"w{rng.randint(0, VOCAB)}" for _ in range(rng.randint(2, 5))]
+        toks.append(_SUFFIXES[rng.randint(0, len(_SUFFIXES))])
+        names.append(" ".join(toks))
+    return names
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -77,6 +93,7 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     texts = gen_docs()
     X = gen_vecs()
+    names = gen_names()
     from pyspark.sql import SparkSession
 
     spark = (
@@ -87,7 +104,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for frac, tag in ((10, "1x"), (1, "10x")):
-        nd, nv = N_DOCS_10X // frac, N_VECS_10X // frac
+        nd, nv, nn = N_DOCS_10X // frac, N_VECS_10X // frac, N_NAMES_10X // frac
         dt = pa.table(
             {
                 "doc_id": pa.array(range(nd), pa.int64()),
@@ -100,15 +117,21 @@ def main() -> None:
                 "embedding": pa.array(list(X[:nv]), pa.list_(pa.float32())),
             }
         )
+        nt = pa.table({"name": pa.array(names[:nn])})
         pq.write_table(dt, os.path.join(OUT, f"tmp_docs_{tag}.parquet"))
         pq.write_table(vt, os.path.join(OUT, f"tmp_vecs_{tag}.parquet"))
+        pq.write_table(nt, os.path.join(OUT, f"tmp_names_{tag}.parquet"))
         # re-split via Spark: a one-file table reads as ONE input split
-        for src, dst in ((f"tmp_docs_{tag}", f"documents_{tag}"), (f"tmp_vecs_{tag}", f"embeddings_{tag}")):
+        for src, dst in (
+            (f"tmp_docs_{tag}", f"documents_{tag}"),
+            (f"tmp_vecs_{tag}", f"embeddings_{tag}"),
+            (f"tmp_names_{tag}", f"names_{tag}"),
+        ):
             spark.read.parquet(os.path.join(OUT, f"{src}.parquet")).repartition(
                 32
             ).write.mode("overwrite").parquet(os.path.join(OUT, f"{dst}.parquet"))
             os.remove(os.path.join(OUT, f"{src}.parquet"))
-        print(tag, "docs", nd, "vecs", nv)
+        print(tag, "docs", nd, "vecs", nv, "names", nn)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,102 @@ def q_decontaminate(spark, tag):
     return int(out.agg(F.sum("n_contaminated_windows")).collect()[0][0])
 
 
+# per-batch second lists for the streaming queries, keyed "<name>_<tag>"
+# (appended per rep) — the round-6 evidence that per-batch cost tracks the
+# BATCH volume, not stream lifetime
+PER_BATCH: dict = {}
+
+
+def _stream_text(spark, tag, *, name, compact_every):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.streaming import neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    out = tempfile.mkdtemp(prefix="scale_nd_")
+    times = []
+    try:
+        for b in range(4):
+            t0 = time.time()
+            neardup_batch(
+                docs.filter(F.col("doc_id") % 4 == b), b, out,
+                threshold=0.5, compact_every=compact_every,
+            )
+            times.append(round(time.time() - t0, 2))
+        kept = spark.read.parquet(f"{out}/docs").count()
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'buckets')}")
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    PER_BATCH.setdefault(f"{name}_{tag}", []).append(times)
+    return kept
+
+
+def q_incremental_neardup(spark, tag):
+    return _stream_text(spark, tag, name="incremental_neardup", compact_every=None)
+
+
+def q_incremental_neardup_compact(spark, tag):
+    return _stream_text(
+        spark, tag, name="incremental_neardup_compact", compact_every=2
+    )
+
+
+def q_incremental_embed(spark, tag):
+    """Embedding stream at a STREAM-CONSTANT plane count sized for the 10x
+    corpus (recommended_n_planes(50k) = 12): bucket ids must not change
+    mid-stream, so a stream expected to reach N vectors starts at N's plane
+    count — the same rule the occupancy guardrail enforces (a fixed 8-plane
+    stream at this volume is exactly the measured quadratic regime)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.streaming import embed_neardup_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    emb = spark.read.parquet(f"{SCALE}/embeddings_{tag}.parquet")
+    out = tempfile.mkdtemp(prefix="scale_embnd_")
+    times = []
+    try:
+        for b in range(4):
+            t0 = time.time()
+            embed_neardup_batch(
+                emb.filter(F.col("vec_id") % 4 == b), b, out,
+                dim=64, threshold=0.99, n_planes=12,
+            )
+            times.append(round(time.time() - t0, 2))
+        kept = spark.read.parquet(f"{out}/docs").count()
+    finally:
+        try:
+            spark.sql(
+                f"DROP TABLE IF EXISTS {history_table_name(out, 'embuckets')}"
+            )
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    PER_BATCH.setdefault(f"incremental_embed_neardup_{tag}", []).append(times)
+    return kept
+
+
+def q_link_many(spark, tag):
+    from linkorgs_software_spark import LinkConfig, link_many
+
+    base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet")
+    a = base.selectExpr("name").distinct()
+    b = base.selectExpr("name || ' x' as name").distinct()
+    c = base.selectExpr("upper(name) as name").distinct()
+    out = link_many([a, b, c], LinkConfig(), max_dist=0.5)
+    return out.select("entity_id").distinct().count()
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash,
     "embedding_lsh_dedup": q_embedding_lsh,
@@ -96,6 +192,10 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "lm_quality": q_lm_quality,
     "decontaminate": q_decontaminate,
+    "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_compact": q_incremental_neardup_compact,
+    "incremental_embed_neardup": q_incremental_embed,
+    "link_many_3way": q_link_many,
 }
 
 
@@ -131,16 +231,15 @@ def main() -> None:
         name: round(best[f"{name}_10x"] / best[f"{name}_1x"], 2)
         for name in QUERIES
     }
-    print(
-        json.dumps(
-            {
-                "best_sec": best,
-                "all_sec": secs,
-                "counts": counts,
-                "time_ratio_10x_over_1x": ratios,
-            }
-        )
-    )
+    out = {
+        "best_sec": best,
+        "all_sec": secs,
+        "counts": counts,
+        "time_ratio_10x_over_1x": ratios,
+    }
+    if PER_BATCH:
+        out["per_batch_sec"] = PER_BATCH
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
