@@ -1003,6 +1003,25 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_lang_mismatch(spark, sf_dir):
+    """Metadata validation: declared lang column vs the n-gram heuristic —
+    crawl labels lie, and a language-filtered training mix needs the
+    cross-check. One scan, zero shuffles."""
+    from linkorgs_software_spark.operators.corpus import lang_mismatch_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return lang_mismatch_flags(docs)
+
+
+def _q_length_outliers(spark, sf_dir):
+    """Per-source length-outlier flags via within-stratum percent_rank —
+    the megadoc triage rule a single global threshold misses."""
+    from linkorgs_software_spark.operators.corpus import length_outliers
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_outliers(docs, pct=0.95)
+
+
 def _q_blocking_quality(spark, sf_dir):
     """Blocking-stage quality metrics (pairs completeness + reduction
     ratio) of the trigram candidate generator against the derivable truth
@@ -1140,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "pack_chunks": _q_pack_chunks,
         "stratified_sample": _q_stratified_sample,
+        "lang_mismatch": _q_lang_mismatch,
+        "length_outliers": _q_length_outliers,
         # ---- tail: scale-path recall variants of already-oracled ops ----
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_neardup_auto": _q_embedding_neardup_auto,
@@ -1850,6 +1871,18 @@ with r as (select doc_id, lang, source, n_chars,
   row_number() over (partition by source
     order by md5('42:' || doc_id::varchar) asc) as rn from documents)
 select doc_id, lang, source, n_chars from r where rn <= 10
+""",
+        "lang_mismatch": f"""
+select doc_id, lang as lang_declared, {lang_case} as lang_detected,
+  (lang is not distinct from ({lang_case})) as agree
+from documents
+""",
+        "length_outliers": """
+with r as (select doc_id, source, n_chars,
+  percent_rank() over (partition by source order by n_chars asc) as pr
+  from documents)
+select doc_id, source, n_chars, round(pr, 6) as length_pct_rank,
+  (pr >= 0.95) as is_outlier from r
 """,
         "blocking_quality": f"""
 {_BLOCKED_CTE},

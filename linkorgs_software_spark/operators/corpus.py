@@ -1392,3 +1392,66 @@ def pack_chunks(
         )
         .select(id_col, "n_tokens", "start_offset", "chunk_id")
     )
+
+
+def lang_mismatch_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Metadata validation: declared language vs the n-gram heuristic
+    (``functions.text.lang_id_expr``). Crawl metadata lies constantly —
+    mislabeled docs poison language-filtered training mixes — so curation
+    cross-checks the label against content before trusting either.
+    Returns ``(doc_id, lang_declared, lang_detected, agree)``; ``agree``
+    is NULL-safe (an unknown detection ('und') disagrees with any declared
+    language, two NULL declarations agree with nothing).
+
+    Scale shape: one scan, pure Catalyst expressions, no shuffle at all.
+    """
+    from ..functions.text import lang_id_expr
+
+    det = lang_id_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang_declared"),
+        det.alias("lang_detected"),
+        (F.col(lang_col).eqNullSafe(det)).alias("agree"),
+    )
+
+
+def length_outliers(
+    df: DataFrame,
+    *,
+    pct: float = 0.99,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum length-outlier flags: a document is an outlier when its
+    length's ``percent_rank`` WITHIN ITS SOURCE reaches ``pct`` — the
+    curation rule for megadocs (concatenated dumps, binary-in-text, log
+    spews) that a single global threshold misses because sources have
+    wildly different length distributions. Returns ``(doc_id, <strata>,
+    <len>, length_pct_rank, is_outlier)``.
+
+    Scale shape: ONE window partitioned by the stratum — per-source
+    ranking parallelizes across sources, no global window, no join.
+    percent_rank is rank-based (ties share a rank), deterministic, and
+    ANSI-portable, so the DuckDB oracle reproduces every flag.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col(len_col).asc())
+    pr = F.percent_rank().over(w)
+    return df.select(
+        F.col(id_col), F.col(strata_col), F.col(len_col), pr.alias("_pr")
+    ).select(
+        id_col,
+        strata_col,
+        len_col,
+        F.round("_pr", 6).alias("length_pct_rank"),
+        (F.col("_pr") >= F.lit(float(pct))).alias("is_outlier"),
+    )

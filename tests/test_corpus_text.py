@@ -1121,3 +1121,40 @@ def test_pack_chunks_matches_global_window_across_buckets(spark):
         .collect()
     }
     assert got == want
+
+
+def test_lang_mismatch_flags(spark):
+    """Declared-vs-detected language validation: agreement, disagreement,
+    'und' never agrees, NULL declaration is null-safe."""
+    from linkorgs_software_spark.operators.corpus import lang_mismatch_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog of the house is the best"),
+            (2, "en", "el gato y la casa de la madre que vive alli"),
+            (3, "en", "zzz qqq www"),
+            (4, None, "the cat and the dog of the house"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r for r in lang_mismatch_flags(docs).collect()}
+    assert out[1].lang_detected == "en" and out[1].agree is True
+    assert out[2].lang_detected == "es" and out[2].agree is False
+    assert out[3].lang_detected == "und" and out[3].agree is False
+    assert out[4].agree is False  # NULL declared never null-agrees with 'en'
+
+
+def test_length_outliers_per_stratum(spark):
+    """The flag is a WITHIN-source percent_rank: the same length can be an
+    outlier in a short-doc source and typical in a long-doc source."""
+    from linkorgs_software_spark.operators.corpus import length_outliers
+
+    rows = [(i, "short", i) for i in range(1, 11)]       # lengths 1..10
+    rows += [(100 + i, "long", 10 + i) for i in range(1, 11)]  # 11..20
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = {r.doc_id: r for r in length_outliers(df, pct=0.9).collect()}
+    # in 'short', only the max (10 chars) reaches rank 1.0 >= 0.9
+    assert out[10].is_outlier is True and out[9].is_outlier is False
+    # length 10 is the TOP of 'short' but would be the BOTTOM of 'long'
+    assert out[110].is_outlier is True and out[101].is_outlier is False
+    assert out[101].length_pct_rank == 0.0
