@@ -174,13 +174,20 @@ def q_incremental_embed(spark, tag):
 
 
 def q_link_many(spark, tag):
+    """3-way resolution at a df-cap that BITES on this corpus: the names
+    share 8 corporate suffixes, and short names make the reference's
+    >= ceil(5% of trigrams) rule admit any pair sharing ONE trigram — at
+    the default max_block_df=10_000 the suffix grams (df ~2,500/side at
+    10x) all join and candidates go quadratic (measured: 23x time for 10x
+    data). max_block_df=2000 drops exactly those stop-grams at 10x; this
+    is the measured law the cap exists for (see BENCH/BASELINE.md)."""
     from linkorgs_software_spark import LinkConfig, link_many
 
     base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet")
     a = base.selectExpr("name").distinct()
     b = base.selectExpr("name || ' x' as name").distinct()
     c = base.selectExpr("upper(name) as name").distinct()
-    out = link_many([a, b, c], LinkConfig(), max_dist=0.5)
+    out = link_many([a, b, c], LinkConfig(max_block_df=2000), max_dist=0.5)
     return out.select("entity_id").distinct().count()
 
 
