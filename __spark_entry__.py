@@ -1122,8 +1122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "doc_split": _q_doc_split,
         "exact_dup": _q_exact_dup,
-        "minhash_sig": _q_minhash_sig,
-        "simhash": _q_simhash,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
@@ -1138,7 +1136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _q_tumbling_window,
         "props_json": _q_props_json,
         "lineitem_agg": _q_lineitem_agg,
-        "segment_orders": _q_segment_orders,
         "link_fuzzy_full": _q_link_fuzzy_full,
         "link_fuzzy_full_pinned": _q_link_fuzzy_full_pinned,
         "embed_l2_linkage": _q_embed_l2_linkage,
@@ -1161,7 +1158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "lang_mismatch": _q_lang_mismatch,
         "length_outliers": _q_length_outliers,
-        # ---- tail: scale-path recall variants of already-oracled ops ----
+        # ---- tail: component/variant queries of operators already oracled
+        # in canonical form above (minhash_lsh_pairs covers the signature
+        # op; simhash_pairs covers the signature expr; lineitem_agg is the
+        # TPC-H representative; embedding_neardup brute is the canonical
+        # verify the LSH variants approximate) ----
+        "minhash_sig": _q_minhash_sig,
+        "simhash": _q_simhash,
+        "segment_orders": _q_segment_orders,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_neardup_auto": _q_embedding_neardup_auto,
         "embedding_neardup_multiprobe": _q_embedding_neardup_multiprobe,

@@ -67,6 +67,24 @@ def apply_df_cap(
     return index.join(F.broadcast(keep), cols, "left_semi")
 
 
+def recommended_block_df(n_rows: int, *, frac: float = 0.1, lo: int = 500) -> int:
+    """Posting-list cap that scales with the side's row count — the
+    round-6 measured law (BENCH/BASELINE.md, link_many 10x run): a FIXED
+    ``max_block_df`` stops biting as the corpus grows, and any gram shared
+    by a constant fraction of rows (corporate suffixes: "corp", "inc")
+    then self-joins quadratically — 3-way resolution over short org names
+    went 23.2x wall-clock for 10x data at the default fixed cap, vs 4.22x
+    once the cap was sized to drop those grams. The rule: a gram carried
+    by more than ``frac`` of a side is a stop-gram (it identifies nothing
+    — same reasoning as df-based stopword induction), so cap at
+    ``max(lo, ceil(frac * n_rows))``; ``lo`` keeps small corpora from
+    capping informative grams. Same shape as ``ann.recommended_n_planes``:
+    the skew knob must scale with the data or the hot keys square."""
+    import math
+
+    return max(lo, math.ceil(float(frac) * max(0, n_rows)))
+
+
 def candidate_pairs(
     x_prep: DataFrame,
     y_prep: DataFrame,

@@ -152,3 +152,19 @@ def test_seeded_sample_encoding_not_separator_sensitive(spark):
     # pipe twins and null twins each disagree for at least one seed
     assert any(m[0] != m[1] for m in ms)
     assert any(m[2] != m[3] for m in ms)
+
+
+def test_recommended_block_df_scales_with_corpus():
+    """The round-6 measured law as a knob: the cap tracks a constant
+    FRACTION of the side (a gram on >10% of rows is a stop-gram), with a
+    floor so small corpora keep informative grams."""
+    from linkorgs_software_spark.operators.blocking import recommended_block_df
+
+    assert recommended_block_df(1_000) == 500          # floor
+    assert recommended_block_df(20_000) == 2_000       # the measured 10x config
+    assert recommended_block_df(200_000) == 20_000     # scales 10x with data
+    assert recommended_block_df(20_000, frac=0.05) == 1_000
+    assert recommended_block_df(0) == 500
+    # at the measured workload, the rule drops the suffix stop-grams
+    # (df ~2,500 on a 20k side) that the fixed default cap admitted
+    assert recommended_block_df(20_000) < 2_500 <= 10_000
