@@ -1003,6 +1003,29 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def _q_chunk_manifest(spark, sf_dir):
+    """The sequence writer's view of pack_chunks: one row per training
+    chunk with doc count / id range / token total for the docs starting in
+    it — the distributed prefix sum + one chunk_id groupBy."""
+    from linkorgs_software_spark.operators.corpus import chunk_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_manifest(docs, budget=512)
+
+
+def _q_dup_cluster_profile(spark, sf_dir):
+    """One-row dedup-clustering triage (group counts only, never member
+    pairs) over the exact-dup groups — the threshold-sanity read before
+    any deletion."""
+    from linkorgs_software_spark.operators.corpus import (
+        dup_cluster_profile,
+        exact_dup_groups,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return dup_cluster_profile(exact_dup_groups(docs), group_col="dup_group")
+
+
 def _q_lang_mismatch(spark, sf_dir):
     """Metadata validation: declared lang column vs the n-gram heuristic —
     crawl labels lie, and a language-filtered training mix needs the
@@ -1158,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "lang_mismatch": _q_lang_mismatch,
         "length_outliers": _q_length_outliers,
+        "chunk_manifest": _q_chunk_manifest,
+        "dup_cluster_profile": _q_dup_cluster_profile,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1880,6 +1905,27 @@ select doc_id, lang, source, n_chars from r where rn <= 10
 select doc_id, lang as lang_declared, {lang_case} as lang_detected,
   (lang is not distinct from ({lang_case})) as agree
 from documents
+""",
+        "chunk_manifest": f"""
+with t as (select doc_id, len({toks})::bigint as n_tokens from documents),
+o as (select doc_id, n_tokens,
+  coalesce(sum(n_tokens) over (order by doc_id
+    rows between unbounded preceding and 1 preceding), 0)::bigint
+    as start_offset from t)
+select floor(start_offset::double / 512)::bigint as chunk_id,
+  count(*)::bigint as n_docs, min(doc_id) as first_doc_id,
+  max(doc_id) as last_doc_id, sum(n_tokens)::bigint as total_tokens
+from o group by 1
+""",
+        "dup_cluster_profile": """
+with per as (select md5(text) as g, count(*) as n from documents group by 1)
+select sum(n)::bigint as n_docs, count(*)::bigint as n_groups,
+  sum(case when n > 1 then n else 0 end)::bigint as n_dup_docs,
+  max(n)::bigint as max_group_size,
+  round(sum(n)::double / count(*), 6) as avg_group_size,
+  round(sum(case when n = 1 then 1 else 0 end)::double / count(*), 6)
+    as singleton_share
+from per
 """,
         "length_outliers": """
 with r as (select doc_id, source, n_chars,

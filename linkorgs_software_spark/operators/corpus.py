@@ -1455,3 +1455,74 @@ def length_outliers(
         F.round("_pr", 6).alias("length_pct_rank"),
         (F.col("_pr") >= F.lit(float(pct))).alias("is_outlier"),
     )
+
+
+def chunk_manifest(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    bucket_size: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The writer's view of ``pack_chunks``: one row per training chunk —
+    ``(chunk_id, n_docs, first_doc_id, last_doc_id, total_tokens)`` for the
+    documents whose FIRST token lands in the chunk (concat-and-chunk
+    semantics: a straddling document belongs to the chunk it starts in).
+    A sequence writer iterates this manifest to emit fixed-budget batches;
+    ``total_tokens`` exceeding ``budget`` on a row just means the chunk's
+    tail spills into the next chunk's stream position — the global token
+    stream is exactly contiguous by construction.
+
+    Scale shape: ``pack_chunks``'s distributed prefix sum + ONE groupBy on
+    chunk_id (map-side combinable).
+    """
+    packed = pack_chunks(
+        df, budget=budget, bucket_size=bucket_size, id_col=id_col, text_col=text_col
+    )
+    return (
+        packed.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("first_doc_id"),
+            F.max(id_col).alias("last_doc_id"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select("chunk_id", "n_docs", "first_doc_id", "last_doc_id", "total_tokens")
+    )
+
+
+def dup_cluster_profile(
+    groups: DataFrame,
+    *,
+    group_col: str = "group_id",
+) -> DataFrame:
+    """One-row triage profile of a dedup clustering (the output of
+    ``near_dup_groups`` / ``exact_dup_groups``): ``(n_docs, n_groups,
+    n_dup_docs, max_group_size, avg_group_size, singleton_share)`` — what
+    a pipeline owner reads to judge a threshold before deleting anything
+    (a tiny ``max_group_size`` says the threshold is timid; a giant one
+    says a boilerplate hub chained everything together).
+
+    Scale shape: one groupBy on the cluster id (map-side combinable), one
+    scalar aggregate over the (small) per-group counts — same
+    counted-never-joined discipline as the rest of the dedup family.
+    round(·, 6) ratios for oracle bit-parity.
+    """
+    per = groups.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    return per.agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.max("_n").cast("long").alias("max_group_size"),
+        F.round(
+            F.sum("_n").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_group_size"),
+        F.round(
+            F.sum(F.when(F.col("_n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("singleton_share"),
+    )

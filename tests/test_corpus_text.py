@@ -1158,3 +1158,41 @@ def test_length_outliers_per_stratum(spark):
     # length 10 is the TOP of 'short' but would be the BOTTOM of 'long'
     assert out[110].is_outlier is True and out[101].is_outlier is False
     assert out[101].length_pct_rank == 0.0
+
+
+def test_chunk_manifest_contiguous_and_straddle_ownership(spark):
+    """Each doc is counted in the chunk its FIRST token lands in; id
+    ranges per chunk are contiguous in the doc_id order; token totals sum
+    to the corpus."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import chunk_manifest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h"), (4, "i j")],
+        "doc_id long, text string",
+    )
+    # offsets: 0, 3, 7, 8 at budget 4 -> chunks 0, 0, 1, 2
+    m = {r.chunk_id: r for r in chunk_manifest(docs, budget=4).collect()}
+    assert set(m) == {0, 1, 2}
+    assert (m[0].n_docs, m[0].first_doc_id, m[0].last_doc_id) == (2, 1, 2)
+    assert m[0].total_tokens == 7  # doc 2 straddles: owned by chunk 0
+    assert (m[1].n_docs, m[1].total_tokens) == (1, 1)
+    assert sum(r.total_tokens for r in m.values()) == 10
+
+
+def test_dup_cluster_profile_values(spark):
+    """Hand-checked profile: 6 docs in {3,2,1}-sized groups."""
+    from linkorgs_software_spark.operators.corpus import (
+        dup_cluster_profile,
+        exact_dup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, "z")],
+        "doc_id long, text string",
+    )
+    r = dup_cluster_profile(exact_dup_groups(docs), group_col="dup_group").first()
+    assert (r.n_docs, r.n_groups, r.n_dup_docs, r.max_group_size) == (6, 3, 5, 3)
+    assert r.avg_group_size == 2.0
+    assert r.singleton_share == round(1 / 3, 6)
