@@ -136,7 +136,9 @@ def lsh_occupancy_guard(
             f"{target_bucket_rows}-row target; candidate volume grows "
             f"quadratically with occupancy (measured 10x scale run) — "
             f"restart the stream with n_planes>={rec} "
-            f"(ann.recommended_n_planes)",
+            f"(ann.recommended_n_planes; "
+            f"streaming.rebucket_embed_history migrates the kept history "
+            f"to the new plane count offline)",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -11,7 +11,11 @@ mentions links against a static reference side and appends to the sink;
 """
 
 from .dedup import dedup_batch, incremental_exact_dedup  # noqa: F401
-from .embed_neardup import embed_neardup_batch, incremental_embed_neardup  # noqa: F401
+from .embed_neardup import (  # noqa: F401
+    embed_neardup_batch,
+    incremental_embed_neardup,
+    rebucket_embed_history,
+)
 from .incremental import incremental_link  # noqa: F401
 from .neardup import incremental_neardup_dedup, neardup_batch  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401

@@ -273,6 +273,64 @@ def _embed_neardup_batch_inner(
         new_b.unpersist()
 
 
+def rebucket_embed_history(
+    spark,
+    out_dir: str,
+    *,
+    dim: int,
+    n_planes: int,
+    num_tables: int = 4,
+    seed: int = 42,
+    num_history_buckets: int = 64,
+) -> int:
+    """OFFLINE plane-count migration for a stopped embed near-dup stream —
+    the action the occupancy guardrail's warning calls for. A running
+    stream is pinned to its start-time ``n_planes`` (bucket ids must be
+    stream-constant for cross-batch candidates to mean anything), so when
+    kept history outgrows the fixed ``2**n_planes`` vocabulary (the
+    measured round-5 law), the operator: stops the stream, runs this, and
+    restarts with the NEW plane count — keeping every kept vector's dedup
+    history instead of starting blind.
+
+    Mechanics: the embeddings slice (``history/embeddings/batch_id=N``,
+    plain parquet, written in lockstep with the bucket table) is the
+    ground truth; each partition's vectors re-hash through ``lsh_buckets``
+    at the new geometry and idempotently overwrite the SAME ``batch_id``
+    partition of the bucket table (``write_history_bucketed`` dynamic
+    partition overwrite), so replay exclusion, compaction snapshots
+    (negative ids), and the Exchange-free bucketed join all behave exactly
+    as before — only the bucket values change. Re-running after a crash
+    just overwrites the same partitions again. Returns the number of
+    history partitions rebucketed.
+
+    Scale shape: one read + one bucketed write per history partition —
+    O(kept history) total, the unavoidable cost of any re-hash, paid
+    OFFLINE once instead of per-batch forever via a saturated vocabulary.
+    """
+    from .history import list_batch_ids
+
+    buckets_dir = os.path.join(out_dir, "history", "buckets")
+    emb_dir = os.path.join(out_dir, "history", "embeddings")
+    hist_tbl = history_table_name(out_dir, "embuckets")
+    lsh_kw = dict(
+        vec_col="embedding", dim=dim, n_planes=n_planes,
+        num_tables=num_tables, seed=seed,
+    )
+    ids = list_batch_ids(spark, emb_dir)
+    for b in ids:
+        vecs = spark.read.parquet(os.path.join(emb_dir, f"batch_id={b}"))
+        new_b = lsh_buckets(vecs.select("vec_id", "embedding"), **lsh_kw)
+        write_history_bucketed(
+            new_b.select("table_id", "bucket", "vec_id"),
+            hist_tbl,
+            buckets_dir,
+            b,
+            bucket_cols=("table_id", "bucket"),
+            num_buckets=num_history_buckets,
+        )
+    return len(ids)
+
+
 def incremental_embed_neardup(
     vec_stream: DataFrame,
     out_dir: str,

@@ -376,6 +376,65 @@ def test_embed_neardup_stream_warns_when_planes_outgrown(spark, tmp_path):
     assert spark.read.parquet(f"{out}/docs/batch_id=0").count() > 0
 
 
+def test_rebucket_embed_history_migrates_plane_count(spark, tmp_path):
+    """The guardrail's prescribed action: stop the stream, re-hash kept
+    history at the recommended plane count, restart. After rebucketing a
+    4-plane history to 8 planes, (a) the bucket table equals a fresh
+    8-plane hash of the stored embeddings, and (b) the restarted stream
+    (now at 8 planes) still drops a perturbed twin of a pre-migration
+    vector via the cross-batch history join."""
+    import numpy as np
+
+    from linkorgs_software_spark.operators.ann import lsh_buckets
+    from linkorgs_software_spark.streaming import (
+        embed_neardup_batch,
+        rebucket_embed_history,
+    )
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    rng = np.random.RandomState(13)
+    base, other = rng.normal(size=16), rng.normal(size=16)
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    out = str(tmp_path / "remig_out")
+    kw = dict(dim=16, threshold=0.99, num_tables=2, seed=7)
+    embed_neardup_batch(_df([(1, base), (2, other)]), 0, out, n_planes=4, **kw)
+    embed_neardup_batch(_df([(3, rng.normal(size=16))]), 1, out, n_planes=4, **kw)
+
+    n = rebucket_embed_history(
+        spark, out, dim=16, n_planes=8, num_tables=2, seed=7
+    )
+    assert n == 2  # both history partitions rewritten
+
+    # (a) bucket table now IS the 8-plane hash of the stored embeddings
+    tbl = spark.table(history_table_name(out, "embuckets"))
+    got = {(r.vec_id, r.table_id, r.bucket) for r in tbl.collect()}
+    emb = spark.read.parquet(f"{out}/history/embeddings")
+    want = {
+        (r.vec_id, r.table_id, r.bucket)
+        for r in lsh_buckets(
+            emb.select("vec_id", "embedding"), vec_col="embedding",
+            dim=16, n_planes=8, num_tables=2, seed=7,
+        ).collect()
+    }
+    assert got == want and len(got) == 3 * 2  # 3 kept vecs x 2 tables
+
+    # (b) restart at 8 planes: a twin of pre-migration vector 1 is dropped
+    pert = base + rng.normal(scale=1e-3, size=16)
+    embed_neardup_batch(
+        _df([(9, pert), (10, rng.normal(size=16))]), 2, out, n_planes=8, **kw
+    )
+    kept2 = sorted(
+        r.vec_id for r in spark.read.parquet(f"{out}/docs/batch_id=2").collect()
+    )
+    assert kept2 == [10]
+
+
 def test_maybe_compact_requires_a_history_slice(spark):
     from linkorgs_software_spark.streaming.history import maybe_compact
 
