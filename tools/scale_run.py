@@ -191,6 +191,24 @@ def q_link_many(spark, tag):
     return out.select("entity_id").distinct().count()
 
 
+def q_pack_chunks(spark, tag):
+    from linkorgs_software_spark.operators.corpus import pack_chunks
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    return pack_chunks(docs, budget=2048).count()
+
+
+def q_repetition(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import repetition_profile
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    return int(
+        repetition_profile(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash,
     "embedding_lsh_dedup": q_embedding_lsh,
@@ -199,6 +217,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "lm_quality": q_lm_quality,
     "decontaminate": q_decontaminate,
+    "pack_chunks": q_pack_chunks,
+    "repetition_profile": q_repetition,
     "incremental_neardup": q_incremental_neardup,
     "incremental_neardup_compact": q_incremental_neardup_compact,
     "incremental_embed_neardup": q_incremental_embed,
