@@ -49,7 +49,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..cache import scoped_caches
+from ..cache import register_cache, scoped_caches
 from ..functions.qgrams import jaccard_qgram_dist_expr
 from ..functions.text import word_shingles_expr
 from ..operators.blocking import apply_df_cap
@@ -164,11 +164,24 @@ def _neardup_batch_inner(
         F.col(id_col), word_shingles_expr(text_col, shingle_k).alias("shingles")
     ).persist()
     try:
+        # materialize the persist and take the cap's free no-op guard in
+        # one action (embed-sibling symmetry, round 6): each doc emits
+        # exactly `bands` bucket rows, so no bucket's posting list can
+        # exceed n_banded / bands — for a normally-sized micro-batch the
+        # cap is provably a no-op and its aggregate+broadcast subtree
+        # (sitting on BOTH self-join sides) is skipped entirely
+        n_banded = banded.count()
         # 1. intra-batch near-dups: drop the larger id of every verified
         # pair (same semantics as the batch minhash_lsh_dups operator)
         b = banded
-        if max_bucket_df is not None:
-            b = apply_df_cap(b, "bucket", max_bucket_df)
+        if max_bucket_df is not None and n_banded > max_bucket_df * max(1, bands):
+            # oversized batch: the cap does real work — persist its output
+            # (scoped_caches releases at batch end) so the aggregate +
+            # broadcast-semi-join subtree isn't evaluated once per
+            # self-join side (the round-5 embed-path lesson)
+            b = register_cache(
+                apply_df_cap(banded, "bucket", max_bucket_df).persist()
+            )
         cand_in = (
             b.alias("a")
             .join(b.alias("b"), "bucket")

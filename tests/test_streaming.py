@@ -312,6 +312,24 @@ def test_incremental_embed_neardup_intra_batch(spark, tmp_path):
     assert kept == [7, 9]  # 8 collapsed into 7
 
 
+def test_neardup_oversized_batch_still_caps(spark, tmp_path):
+    """Text-path twin of the embed cap-guard test: a micro-batch flood of
+    identical documents exceeding max_bucket_df may not pair-join itself
+    (all flood rows kept), while a distinct planted near-dup pair still
+    collapses — the no-op guard must not disable the cap."""
+    from linkorgs_software_spark.streaming import neardup_batch
+
+    flood = [(i, "the flooded viral boilerplate document body") for i in range(120)]
+    pair_text = "a genuinely distinct planted near duplicate passage here"
+    rows = flood + [(1000, pair_text), (1001, pair_text)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "tcap_out")
+    neardup_batch(df, 0, out, threshold=0.5, max_bucket_df=50)
+    kept = sorted(r.doc_id for r in spark.read.parquet(f"{out}/docs/batch_id=0").collect())
+    assert set(range(120)) <= set(kept)  # flood bucket over cap: no self-pairs
+    assert 1000 in kept and 1001 not in kept
+
+
 def test_embed_neardup_oversized_batch_still_caps(spark, tmp_path):
     """The round-6 df-cap no-op guard (skip when batch rows <= max_bucket_df)
     must NOT disable the cap on a genuinely oversized micro-batch: a flood of
