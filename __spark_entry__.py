@@ -1117,6 +1117,33 @@ def _q_embed_l2_linkage(spark, sf_dir):
     )
 
 
+def _q_pii_profile(spark, sf_dir):
+    """Per-doc PII exposure counts (email / SSN-shaped / phone / IPv4) via
+    RE2∩Java-portable regexes — the pre-release compliance triage pass."""
+    from linkorgs_software_spark.operators.corpus import pii_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    return pii_profile(docs)
+
+
+def _q_pii_redact(spark, sf_dir):
+    """Sentinel redaction of every PII match (full redacted text is
+    hash-compared against the oracle's nested regexp_replace chain)."""
+    from linkorgs_software_spark.operators.corpus import pii_redact
+
+    docs = _read(spark, sf_dir, "documents")
+    return pii_redact(docs)
+
+
+def _q_quality_rules(spark, sf_dir):
+    """Gopher/C4 rule-based quality flags at published default thresholds;
+    ratios rounded before comparison so flags cannot flip across engines."""
+    from linkorgs_software_spark.operators.corpus import quality_rule_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_rule_flags(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (round-6 diagnostic for the missing r5
     # CORRECTNESS row): r4 reported all 42 registered queries including the
@@ -1183,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _q_length_outliers,
         "chunk_manifest": _q_chunk_manifest,
         "dup_cluster_profile": _q_dup_cluster_profile,
+        "pii_profile": _q_pii_profile,
+        "pii_redact": _q_pii_redact,
+        "quality_rules": _q_quality_rules,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1244,6 +1274,27 @@ def oracle_sql() -> dict[str, str]:
         "i -> {v}.embedding[i]::double * {v}.embedding[i]::double)))"
     )
     cos = f"({dot}) / ({nrm.format(v='a')} * {nrm.format(v='b')})"
+
+    # PII fragments are GENERATED from functions.text.PII_PATTERNS — the
+    # byte-identical pattern strings run on both engines (RE2 ∩ Java
+    # common subset), so the oracle can never drift from the operator.
+    from linkorgs_software_spark.functions.text import PII_PATTERNS
+
+    pii_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::int as n_{name}s"
+        for name, pat, _ in PII_PATTERNS
+    )
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    pii_red = "text"
+    for _, pat, token in PII_PATTERNS:
+        pii_red = f"regexp_replace({pii_red}, '{pat}', '{token}', 'g')"
+    lines = (
+        "list_filter(list_transform(string_split(text, chr(10)), "
+        "l -> trim(l)), l -> length(l) > 0)"
+    )
+    n_lines = f"len({lines})"
 
     return {
         "normalize": (
@@ -1926,6 +1977,53 @@ select sum(n)::bigint as n_docs, count(*)::bigint as n_groups,
   round(sum(case when n = 1 then 1 else 0 end)::double / count(*), 6)
     as singleton_share
 from per
+""",
+        "pii_profile": f"""
+with c as (select doc_id, {pii_cols} from documents)
+select doc_id, n_emails, n_ssns, n_phones, n_ipv4s,
+  (n_emails + n_ssns + n_phones + n_ipv4s)::int as n_pii,
+  ((n_emails + n_ssns + n_phones + n_ipv4s) > 0) as has_pii
+from c
+""",
+        "pii_redact": f"""
+select doc_id, {pii_red} as text_redacted,
+  ({pii_total})::int as n_redactions
+from documents
+""",
+        "quality_rules": f"""
+with m as (
+  select doc_id,
+    {n_tok} as n_words,
+    round(case when {n_tok} = 0 then 0.0 else
+      list_sum(list_transform({toks}, t -> length(t)))::double
+        / {n_tok} end, 6) as mean_word_len,
+    round(case when {n_tok} = 0 then 0.0 else
+      ((length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '...', ''))) / 3)::double
+        / {n_tok} end, 6) as symbol_ratio,
+    round(case when {n_lines} = 0 then 0.0 else
+      len(list_filter({lines}, l -> starts_with(l, '-')
+        or starts_with(l, '*') or starts_with(l, '•')))::double
+        / {n_lines} end, 6) as bullet_line_share,
+    round(case when {n_lines} = 0 then 0.0 else
+      len(list_filter({lines}, l -> ends_with(l, '...')))::double
+        / {n_lines} end, 6) as ellipsis_line_share,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+      s -> list_contains({toks}, s))) as n_stop_kinds
+  from documents)
+select doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_share,
+  ellipsis_line_share, n_stop_kinds,
+  (n_words >= 50 and n_words <= 100000) as word_count_ok,
+  (mean_word_len >= 3.0 and mean_word_len <= 10.0) as mean_len_ok,
+  (symbol_ratio <= 0.1) as symbol_ok,
+  (bullet_line_share <= 0.9) as bullet_ok,
+  (ellipsis_line_share <= 0.3) as ellipsis_ok,
+  (n_stop_kinds >= 2) as stop_ok,
+  ((n_words >= 50 and n_words <= 100000)
+   and mean_word_len >= 3.0 and mean_word_len <= 10.0
+   and symbol_ratio <= 0.1 and bullet_line_share <= 0.9
+   and ellipsis_line_share <= 0.3 and n_stop_kinds >= 2) as keep
+from m
 """,
         "length_outliers": """
 with r as (select doc_id, source, n_chars,

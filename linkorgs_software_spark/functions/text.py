@@ -97,6 +97,35 @@ def lang_id_expr(col: Column | str) -> Column:
     return best_lang
 
 
+# PII detection patterns, written to the RE2 ∩ Java-regex common subset
+# (character classes, bounded quantifiers, \b, \d — no backrefs, no
+# lookaround) so the identical pattern string runs in Spark's regexp_*
+# (Java) and the DuckDB oracle's regexp_* (RE2) with identical matches.
+# Patterns are mutually non-overlapping by construction (group arities
+# differ), so redaction order cannot change the result.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_count_expr(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pattern), 0))
+
+
+def pii_redact_expr(col: Column | str) -> Column:
+    """Replace every PII match with its sentinel token, all patterns in
+    the fixed ``PII_PATTERNS`` order (order is immaterial — see above —
+    but fixing it keeps the oracle expression byte-comparable)."""
+    out = _c(col)
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 FP_MOD = 1_000_000_007
 FP_MUL = 31
 

@@ -1526,3 +1526,191 @@ def dup_cluster_profile(
             6,
         ).alias("singleton_share"),
     )
+
+
+def pii_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document PII exposure counts: ``(doc_id, n_emails, n_ssns,
+    n_phones, n_ipv4s, n_pii, has_pii)`` — the compliance triage pass every
+    pre-training corpus runs before release (emails, US-SSN-shaped ids,
+    phone numbers, IPv4 addresses). Detection is pure regex over the
+    RE2 ∩ Java common subset (``functions.text.PII_PATTERNS``), so the
+    byte-identical patterns run in the DuckDB oracle.
+
+    Scale shape: one scan, pure Catalyst regexp expressions inside
+    whole-stage codegen — no shuffle, no Python, trivially partition-
+    parallel at any corpus size.
+    """
+    from ..functions.text import PII_PATTERNS, pii_count_expr
+
+    counts = {
+        f"n_{name}s": pii_count_expr(text_col, pat) for name, pat, _ in PII_PATTERNS
+    }
+    out = df.select(
+        F.col(id_col),
+        *[c.cast("int").alias(n) for n, c in counts.items()],
+    )
+    total = sum((F.col(n) for n in counts), F.lit(0))
+    return out.withColumn("n_pii", total.cast("int")).withColumn(
+        "has_pii", F.col("n_pii") > 0
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentinel redaction: ``(doc_id, text_redacted, n_redactions)`` with
+    every PII match replaced by its type token (``<EMAIL>``, ``<SSN>``,
+    ``<PHONE>``, ``<IP>``). The patterns are mutually non-overlapping by
+    construction (group arities differ), so application order cannot
+    change the output; the fixed ``PII_PATTERNS`` order is kept anyway so
+    the oracle's nested ``regexp_replace`` chain is the same expression.
+
+    Scale shape: identical to ``pii_profile`` — one scan, codegen'd
+    regexp_replace chain, no shuffle.
+    """
+    from ..functions.text import PII_PATTERNS, pii_count_expr, pii_redact_expr
+
+    total = sum(
+        (pii_count_expr(text_col, pat) for _, pat, _ in PII_PATTERNS), F.lit(0)
+    )
+    return df.select(
+        F.col(id_col),
+        pii_redact_expr(text_col).alias("text_redacted"),
+        total.cast("int").alias("n_redactions"),
+    )
+
+
+def quality_rule_flags(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_share: float = 0.9,
+    max_ellipsis_share: float = 0.3,
+    min_stop_kinds: int = 2,
+) -> DataFrame:
+    """Gopher/C4 rule-based quality flags, one row per document.
+
+    The published heuristic battery (Rae et al. 2021 'Gopher' §A1.1;
+    Raffel et al. 2020 'C4') re-expressed as Catalyst expressions:
+
+      * word count in [min_words, max_words]           -> word_count_ok
+      * mean word length in [3, 10]                    -> mean_len_ok
+      * ('#' chars + '...' runs) / words <= 0.1        -> symbol_ok
+      * share of lines starting with a bullet <= 0.9   -> bullet_ok
+      * share of lines ending in '...' <= 0.3          -> ellipsis_ok
+      * >= 2 distinct required stop words present      -> stop_ok
+      * keep = all of the above
+
+    Ratios are round(·, 6) BEFORE comparison on both engines, so a flag
+    can never flip on float formatting across the oracle boundary. Line
+    stats use trimmed non-empty lines (both engines keep trailing empty
+    split fields — filtering them is the portable choice).
+
+    Scale shape: one scan, array/lambda expressions only — no shuffle,
+    no Python, no data-dependent branching; the whole row is one
+    whole-stage-codegen projection.
+    """
+    from ..functions.text import tokens_expr
+
+    # Gopher's required-stop-word set ("must contain >= 2 of ...")
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+    toks = tokens_expr(text_col)
+    toks_lower = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            ).cast("double")
+            / nd
+        ),
+        6,
+    )
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise((n_hash + n_ell).cast("double") / nd), 6
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.startswith(l, F.lit("-"))
+            | F.startswith(l, F.lit("*"))
+            | F.startswith(l, F.lit("•")),
+        )
+    )
+    ellipsis = F.size(F.filter(lines, lambda l: F.endswith(l, F.lit("..."))))
+    bullet_share = F.round(
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            bullet.cast("double") / n_lines.cast("double")
+        ),
+        6,
+    )
+    ellipsis_share = F.round(
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            ellipsis.cast("double") / n_lines.cast("double")
+        ),
+        6,
+    )
+    n_stop_kinds = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(toks_lower, s),
+        )
+    )
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_share.alias("bullet_line_share"),
+        ellipsis_share.alias("ellipsis_line_share"),
+        n_stop_kinds.alias("n_stop_kinds"),
+    )
+    word_count_ok = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    mean_len_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    symbol_ok = F.col("symbol_ratio") <= max_symbol_ratio
+    bullet_ok = F.col("bullet_line_share") <= max_bullet_share
+    ellipsis_ok = F.col("ellipsis_line_share") <= max_ellipsis_share
+    stop_ok = F.col("n_stop_kinds") >= min_stop_kinds
+    return (
+        out.withColumn("word_count_ok", word_count_ok)
+        .withColumn("mean_len_ok", mean_len_ok)
+        .withColumn("symbol_ok", symbol_ok)
+        .withColumn("bullet_ok", bullet_ok)
+        .withColumn("ellipsis_ok", ellipsis_ok)
+        .withColumn("stop_ok", stop_ok)
+        .withColumn(
+            "keep",
+            word_count_ok
+            & mean_len_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & stop_ok,
+        )
+    )

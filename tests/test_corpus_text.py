@@ -1196,3 +1196,82 @@ def test_dup_cluster_profile_values(spark):
     assert (r.n_docs, r.n_groups, r.n_dup_docs, r.max_group_size) == (6, 3, 5, 3)
     assert r.avg_group_size == 2.0
     assert r.singleton_share == round(1 / 3, 6)
+
+
+def test_pii_profile_counts_and_redaction(spark):
+    """Planted PII fixtures: counts per category, redaction tokens, and
+    the dotted-phone vs IPv4 disambiguation (pattern arities differ, so
+    the families can never overlap)."""
+    from linkorgs_software_spark.operators.corpus import pii_profile, pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact john.doe+spam@example.co.uk or call 555-123-4567 now"),
+            (2, "ssn 123-45-6789 server at 10.0.255.1 and 192.168.1.1"),
+            (3, "clean text with no sensitive content at all"),
+            (4, "dotted phone 555.123.4567 mail a@b.io"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    p = {r.doc_id: r for r in pii_profile(docs).collect()}
+    assert (p[1].n_emails, p[1].n_phones, p[1].n_pii) == (1, 1, 2)
+    assert (p[2].n_ssns, p[2].n_ipv4s, p[2].n_pii) == (1, 2, 3)
+    assert p[3].has_pii is False and p[5].n_pii == 0
+    # dotted phone is a phone (three groups), never an IPv4 (four groups)
+    assert (p[4].n_phones, p[4].n_ipv4s) == (1, 0)
+    r = {x.doc_id: x for x in pii_redact(docs).collect()}
+    assert r[1].text_redacted == "contact <EMAIL> or call <PHONE> now"
+    assert r[2].text_redacted == "ssn <SSN> server at <IP> and <IP>"
+    assert r[4].text_redacted == "dotted phone <PHONE> mail <EMAIL>"
+    assert r[3].n_redactions == 0 and r[2].n_redactions == 3
+
+
+def test_quality_rule_flags_gopher_c4_rules(spark):
+    """Each rule trips on its own planted violation; a long stop-worded
+    doc passes all six; empty text fails closed (word count + mean len)."""
+    from linkorgs_software_spark.operators.corpus import quality_rule_flags
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs and cats with that"] * 6)
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # 72 words, stops present -> keep
+            (2, "short text"),  # word count under 50
+            (3, "- a\n- b\n- c\nplain"),  # 3/4 bullet lines (> 0.9? no — 0.75 ok)
+            (4, "x...\ny...\nz plain line"),  # 2/3 ellipsis lines > 0.3
+            (5, "#x #x #x " + " ".join(["word"] * 60)),  # 3 hashes / 63 words < 0.1
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_rule_flags(docs).collect()}
+    assert q[1].keep is True and q[1].n_stop_kinds >= 2
+    assert q[2].word_count_ok is False and q[2].keep is False
+    assert q[3].bullet_line_share == 0.75 and q[3].bullet_ok is True
+    assert q[4].ellipsis_line_share == round(2 / 3, 6) and q[4].ellipsis_ok is False
+    assert q[5].symbol_ratio == round(3 / 63, 6) and q[5].symbol_ok is True
+    assert q[6].n_words == 0 and q[6].keep is False
+    # tightened thresholds flip the marginal docs
+    tight = {
+        r.doc_id: r
+        for r in quality_rule_flags(
+            docs, max_bullet_share=0.5, max_symbol_ratio=0.01
+        ).collect()
+    }
+    assert tight[3].bullet_ok is False and tight[5].symbol_ok is False
+
+
+def test_pii_and_quality_plans_are_single_scan_no_shuffle(spark):
+    """The curation trio is a pure projection: no Exchange, no Python, no
+    join — one codegen'd scan regardless of corpus size."""
+    from linkorgs_software_spark.operators.corpus import (
+        pii_profile,
+        pii_redact,
+        quality_rule_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for op in (pii_profile, pii_redact, quality_rule_flags):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        for banned in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
+            assert banned not in plan, (op.__name__, banned)
