@@ -115,3 +115,100 @@ def deterministic_split(
     for i in reversed(range(len(boundaries))):
         expr = F.when(u < F.lit(boundaries[i]), F.lit(i)).otherwise(expr)
     return df.withColumn(split_col, expr.cast("int"))
+
+
+def group_aware_split(
+    df: DataFrame,
+    assignments: DataFrame,
+    *,
+    weights=(0.9, 0.05, 0.05),
+    seed: int = 42,
+    id_col: str = "doc_id",
+    group_col: str = "dup_group",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a hash of the
+    DUP-GROUP key (from ``exact_dup_groups`` / ``near_dup_groups``), so
+    every member of a duplicate or near-duplicate cluster lands in the
+    SAME split — the eval-contamination rule plain per-doc splitting
+    violates (a near-copy of a test doc in train is leakage; Lee et al.
+    2022 measure exactly this). Docs absent from ``assignments`` fall
+    back to their own id as a singleton group, so the split stays
+    exhaustive.
+
+    Scale shape: one key-equality join on the doc id (both sides
+    corpus-sized — the one inherent shuffle), then the same pure-hash
+    range assignment as ``deterministic_split``. No window, no collect.
+    """
+    g = assignments.select(
+        F.col(id_col), F.col(group_col).cast("string").alias("_grp")
+    )
+    joined = df.join(g, id_col, "left")
+    key = F.coalesce(F.col("_grp"), F.concat(F.lit("solo:"), F.col(id_col).cast("string")))
+    total = float(sum(weights))
+    u = _unit_hash_expr(key, seed)
+    expr = F.lit(len(weights) - 1)
+    cum = 0.0
+    boundaries = []
+    for w in weights[:-1]:
+        cum = round(cum + float(w) / total, 12)
+        boundaries.append(cum)
+    for i in reversed(range(len(boundaries))):
+        expr = F.when(u < F.lit(boundaries[i]), F.lit(i)).otherwise(expr)
+    return joined.withColumn(split_col, expr.cast("int")).drop("_grp")
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict,
+    *,
+    default_budget: int = 0,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture construction: for each stratum (source), keep
+    documents in deterministic ``md5(seed || id)`` order until the
+    stratum's token budget is met — the data-mixing move that turns
+    "40% web, 30% books, 30% code BY TOKENS" into a reproducible doc
+    selection. A doc is selected while the running token total BEFORE it
+    is under budget (so a nonempty stratum with a positive budget always
+    yields at least one doc, and overshoot is bounded by one document —
+    the same packing rule as ``pack_chunks``). Sources missing from
+    ``budgets`` get ``default_budget``.
+
+    Returns ``(id, stratum, n_tokens, cum_before, selected)`` for every
+    doc — a plan, not a filter, so the caller can audit budget fill
+    before materializing.
+
+    Scale shape: ONE window partitioned by the stratum (per-source
+    cumulative sums parallelize across sources; no global window, no
+    join); the budget map is a literal CASE expression, never a table.
+    """
+    from ..functions.text import token_count_expr
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("_h").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == src, F.lit(int(b))).otherwise(budget)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            token_count_expr(text_col).cast("long").alias("n_tokens"),
+            h.alias("_h"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("selected", F.col("cum_before") < budget)
+        .drop("_h")
+    )

@@ -1275,3 +1275,61 @@ def test_pii_and_quality_plans_are_single_scan_no_shuffle(spark):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         for banned in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "Join"):
             assert banned not in plan, (op.__name__, banned)
+
+
+def test_group_aware_split_no_leakage_and_singleton_fallback(spark):
+    """Every member of a dup group lands in the same split; docs missing
+    from the assignments frame fall back to singleton groups (split still
+    assigned); the assignment is stable under repartition."""
+    from linkorgs_software_spark.operators.corpus import exact_dup_groups
+    from linkorgs_software_spark.operators.sampling import group_aware_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(60)] + [(100, "orphan doc")],
+        "doc_id long, text string",
+    )
+    asg = exact_dup_groups(docs.filter("doc_id < 100"))
+    out = group_aware_split(docs, asg, weights=(0.5, 0.5))
+    rows = out.collect()
+    assert len(rows) == 61 and all(r.split in (0, 1) for r in rows)
+    # leakage check: split is constant within each dup group
+    by_group = {}
+    for r in rows:
+        if r.doc_id == 100:
+            continue
+        by_group.setdefault(r.doc_id % 7, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # both splits used (7 groups, hash-spread)
+    assert len({next(iter(s)) for s in by_group.values()}) == 2
+    # stability under repartition
+    again = {
+        r.doc_id: r.split
+        for r in group_aware_split(docs.repartition(7), asg, weights=(0.5, 0.5)).collect()
+    }
+    assert again == {r.doc_id: r.split for r in rows}
+
+
+def test_mixture_sample_budget_fill_and_overshoot_bound(spark):
+    """Per-source greedy fill: selection follows md5 order, the pre-doc
+    running total gates membership (>= 1 doc for any positive budget,
+    overshoot bounded by one doc), unbudgeted sources use the default."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)]
+        + [(100 + i, "w " * 10, "b") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_sample(docs, {"a": 25}, default_budget=0)
+    sel = out.filter("selected").groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+    )
+    got = {r.source: (r.n, r.tok) for r in sel.collect()}
+    # budget 25 at 10 tokens/doc: docs with cum_before 0, 10, 20 selected
+    assert got == {"a": (3, 30)}  # overshoot bounded by one doc
+    # tiny positive budget still yields one doc; default applies to 'b'
+    one = mixture_sample(docs, {"a": 1}, default_budget=15).filter("selected")
+    got2 = {r.source: r.n for r in one.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got2 == {"a": 1, "b": 2}
