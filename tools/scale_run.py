@@ -209,6 +209,54 @@ def q_repetition(spark, tag):
     )
 
 
+def q_pii(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import pii_profile
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    # sum over a computed column so Catalyst cannot prune the regex work
+    return int(pii_profile(docs).agg(F.sum("n_pii")).collect()[0][0])
+
+
+def q_quality(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import quality_rule_flags
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    return int(
+        quality_rule_flags(docs)
+        .agg(F.sum(F.col("keep").cast("int")))
+        .collect()[0][0]
+    )
+
+
+def q_group_split(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import exact_dup_groups
+    from linkorgs_software_spark.operators.sampling import group_aware_split
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    out = group_aware_split(docs, exact_dup_groups(docs), weights=(0.8, 0.1, 0.1))
+    return int(out.agg(F.sum("split")).collect()[0][0])
+
+
+def q_mixture(spark, tag):
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet").withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 16).cast("string"))
+    )
+    out = mixture_sample(docs, {"src0": 5000, "src1": 2500}, default_budget=1000)
+    return int(
+        out.agg(F.sum(F.col("selected").cast("int"))).collect()[0][0]
+    )
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash,
     "embedding_lsh_dedup": q_embedding_lsh,
@@ -219,6 +267,10 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_chunks": q_pack_chunks,
     "repetition_profile": q_repetition,
+    "pii_profile": q_pii,
+    "quality_rules": q_quality,
+    "group_split": q_group_split,
+    "mixture_sample": q_mixture,
     "incremental_neardup": q_incremental_neardup,
     "incremental_neardup_compact": q_incremental_neardup_compact,
     "incremental_embed_neardup": q_incremental_embed,
