@@ -903,6 +903,27 @@ def _q_b3_clusters(spark, sf_dir):
     return b3_scores(pred, truth)
 
 
+def _q_b3_coverage(spark, sf_dir):
+    """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
+    the predicted clustering covers only custkey % 3 != 0 (a system that
+    skipped a third of the records), truth covers everyone. Singleton
+    mode charges the skipped records as recall debt (each is its own
+    predicted entity) instead of silently dropping them — the coverage-
+    honest variant of ``b3_clusters``."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    cust = _read(spark, sf_dir, "customer")
+    pred = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("string").alias("pred_cluster"),
+    )
+    truth = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("true_cluster"),
+    )
+    return b3_scores(pred, truth, unmatched="singleton")
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination over a within-table split: docs with
     doc_id % 50 == 0 play the evaluation set; every other doc is flagged
@@ -1241,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rules": _q_quality_rules,
         "group_split": _q_group_split,
         "mixture_sample": _q_mixture_sample,
+        "b3_coverage": _q_b3_coverage,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1831,6 +1853,30 @@ from r where rank <= 10
 with cells as (
   select c_nationkey::varchar as p, c_mktsegment as t, count(*) as n_pt
   from customer group by 1, 2),
+np as (select p, sum(n_pt) as n_p from cells group by 1),
+nt as (select t, sum(n_pt) as n_t from cells group by 1),
+agg as (select sum(n_pt) as n,
+  sum(n_pt * n_pt / n_p) as sp, sum(n_pt * n_pt / n_t) as sr
+  from cells join np using (p) join nt using (t))
+select n::bigint as n_records,
+  round(sp / n, 6) as b3_precision,
+  round(sr / n, 6) as b3_recall,
+  round(case when sp / n + sr / n > 0
+        then 2.0 * (sp / n) * (sr / n) / (sp / n + sr / n) else 0.0 end, 6)
+    as b3_f1
+from agg
+""",
+        "b3_coverage": """
+with a as (select c_custkey as id, c_nationkey::varchar as p
+           from customer where c_custkey % 3 != 0),
+b as (select c_custkey as id, c_mktsegment as t from customer),
+j as (select coalesce(a.id, b.id) as id, a.p, b.t
+      from a full outer join b on a.id = b.id),
+jj as (select
+  coalesce(p, chr(1) || 'solo_p:' || id::varchar) as p,
+  coalesce(t, chr(1) || 'solo_t:' || id::varchar) as t
+  from j),
+cells as (select p, t, count(*) as n_pt from jj group by 1, 2),
 np as (select p, sum(n_pt) as n_p from cells group by 1),
 nt as (select t, sum(n_pt) as n_t from cells group by 1),
 agg as (select sum(n_pt) as n,

@@ -200,6 +200,7 @@ def b3_scores(
     id_col: str = "id",
     pred_col: str = "pred_cluster",
     true_col: str = "true_cluster",
+    unmatched: str = "drop",
 ) -> DataFrame:
     """B-cubed clustering precision/recall/F1 (Bagga & Baldwin 1998) — the
     standard CLUSTER-level entity-resolution metric, complementing the
@@ -209,23 +210,60 @@ def b3_scores(
 
     One row ``(n_records, b3_precision, b3_recall, b3_f1)``. For record e:
     P(e) = |pred(e) ∩ true(e)| / |pred(e)|, R(e) = the same over
-    |true(e)|; scores are means over records. Records present in only one
-    assignment are dropped (inner join — both clusterings must cover the
-    record for the metric to be defined).
+    |true(e)|; scores are means over records.
+
+    ``unmatched`` controls records present in only one assignment:
+    ``"drop"`` (default, the historical behavior) keeps only records both
+    clusterings cover (inner join); ``"singleton"`` keeps every record,
+    treating a record missing from one side as a singleton cluster there
+    (full outer join + a per-record unique label) — the standard
+    extension for partial system output, where an unclustered record is
+    "its own entity". Under it a record the system skipped scores
+    R(e) = 1/|true(e)| (recall debt) and P(e) = 1, and vice versa —
+    coverage gaps now show up in the score instead of vanishing.
+    Synthetic singleton labels are prefixed with a control character
+    (``\\x01``) so they cannot collide with real cluster ids; cluster
+    labels are compared as strings.
 
     Scale shape: never materializes cluster MEMBER PAIRS — three count
     aggregates (per (pred,true) cell, per pred, per true) and one
     weighted sum: Σ_cells n_pt·(n_pt/n_p) / N. All shuffles are keyed on
     cluster ids; a viral cluster costs one count, not |cluster|² rows.
-    round(·, 6) for oracle parity.
+    Singleton mode adds no new shuffle shape: each one-sided record
+    becomes a size-1 cell keyed by its own id. round(·, 6) for oracle
+    parity.
     """
-    a = pred.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_p"))
-    b = truth.select(F.col(id_col).alias("_id"), F.col(true_col).alias("_t"))
-    cells = (
-        a.join(b, "_id")
-        .groupBy("_p", "_t")
-        .agg(F.count(F.lit(1)).alias("n_pt"))
+    if unmatched not in ("drop", "singleton"):
+        raise ValueError(
+            f"unmatched must be 'drop' or 'singleton', got {unmatched!r}"
+        )
+    a = pred.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).cast("string").alias("_p")
     )
+    b = truth.select(
+        F.col(id_col).alias("_id"), F.col(true_col).cast("string").alias("_t")
+    )
+    if unmatched == "singleton":
+        joined = (
+            a.join(b, "_id", "full_outer")
+            .withColumn(
+                "_p",
+                F.coalesce(
+                    F.col("_p"),
+                    F.concat(F.lit("\x01solo_p:"), F.col("_id").cast("string")),
+                ),
+            )
+            .withColumn(
+                "_t",
+                F.coalesce(
+                    F.col("_t"),
+                    F.concat(F.lit("\x01solo_t:"), F.col("_id").cast("string")),
+                ),
+            )
+        )
+    else:
+        joined = a.join(b, "_id")
+    cells = joined.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("n_pt"))
     np_ = cells.groupBy("_p").agg(F.sum("n_pt").alias("n_p"))
     nt_ = cells.groupBy("_t").agg(F.sum("n_pt").alias("n_t"))
     agg = (

@@ -205,3 +205,57 @@ def test_skew_profile_composite_key_and_empty(spark):
         spark.createDataFrame([], "id long, key string"), "key"
     )
     assert empty.count() == 0
+
+
+def test_b3_singleton_mode_hand_checked(spark):
+    """unmatched="singleton": pred covers {1,2,3}, truth covers {2,3,4};
+    one-sided records become singletons on the missing side. Hand math:
+    P = (1/2 + 1/2 + 1 + 1)/4 = 0.75, R = (1 + 1/2 + 1/2 + 1)/4 = 0.75.
+    Same data under the default drop mode keeps only {2,3}: P = 1 (each
+    surviving pred cluster is a pure singleton over the joined records),
+    R = 0.5."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B")], "id long, pred_cluster string"
+    )
+    truth = spark.createDataFrame(
+        [(2, "X"), (3, "X"), (4, "Y")], "id long, true_cluster string"
+    )
+    row = b3_scores(pred, truth, unmatched="singleton").collect()[0]
+    assert row.n_records == 4
+    assert row.b3_precision == 0.75
+    assert row.b3_recall == 0.75
+    assert row.b3_f1 == 0.75
+
+    drop = b3_scores(pred, truth).collect()[0]
+    assert drop.n_records == 2
+    assert drop.b3_precision == 1.0
+    assert drop.b3_recall == 0.5
+
+
+def test_b3_singleton_mode_full_coverage_matches_drop(spark):
+    """When both assignments cover every record, singleton mode must be
+    byte-identical to drop mode (the outer join degenerates to inner)."""
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    pred = spark.createDataFrame(
+        [(i, f"p{i % 4}") for i in range(40)], "id long, pred_cluster string"
+    )
+    truth = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(40)], "id long, true_cluster string"
+    )
+    a = b3_scores(pred, truth).collect()[0]
+    b = b3_scores(pred, truth, unmatched="singleton").collect()[0]
+    assert a == b
+
+
+def test_b3_bad_unmatched_raises(spark):
+    import pytest as _pytest
+
+    from linkorgs_software_spark.operators.assess import b3_scores
+
+    df = spark.createDataFrame([(1, "a")], "id long, pred_cluster string")
+    with _pytest.raises(ValueError, match="unmatched"):
+        b3_scores(df, df.selectExpr("id", "pred_cluster as true_cluster"),
+                  unmatched="bogus")
