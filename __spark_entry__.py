@@ -903,6 +903,20 @@ def _q_b3_clusters(spark, sf_dir):
     return b3_scores(pred, truth)
 
 
+def _q_stop_grams(spark, sf_dir):
+    """df-based stop-gram induction over customer names: the trigrams a
+    scaled df cap (``recommended_block_df``) would drop from the blocking
+    join — here the shared ``Customer#0000...`` prefix grams, whose
+    posting lists carry ~every row and would square inside the gram join.
+    The inspectable face of the round-6 measured law (a frequency cap
+    must scale with the corpus or hot keys square)."""
+    from linkorgs_software_spark.operators.blocking import induced_stop_grams
+
+    cust = _read(spark, sf_dir, "customer")
+    prep = prepare_side(cust, "c_name", "rec_id", CFG)
+    return induced_stop_grams(prep, "rec_id", CFG)
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1263,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": _q_group_split,
         "mixture_sample": _q_mixture_sample,
         "b3_coverage": _q_b3_coverage,
+        "stop_grams": _q_stop_grams,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1865,6 +1880,17 @@ select n::bigint as n_records,
         then 2.0 * (sp / n) * (sr / n) / (sp / n + sr / n) else 0.0 end, 6)
     as b3_f1
 from agg
+""",
+        "stop_grams": f"""
+with xs as (select distinct {_norm_sql('c_name')} as nm from customer),
+xt as (select nm, unnest({_tri_sql('nm')}) as gram from xs),
+c as (select count(*) as n_names,
+             greatest(500, ceil(0.1 * count(*)))::bigint as cap from xs),
+dfc as (select gram, count(*) as df from xt group by 1)
+select dfc.gram, dfc.df::bigint as df,
+  round(dfc.df::double / c.n_names, 6) as df_share,
+  c.cap as cap
+from dfc, c where dfc.df > c.cap
 """,
         "b3_coverage": """
 with a as (select c_custkey as id, c_nationkey::varchar as p

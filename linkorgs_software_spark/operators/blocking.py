@@ -85,6 +85,53 @@ def recommended_block_df(n_rows: int, *, frac: float = 0.1, lo: int = 500) -> in
     return max(lo, math.ceil(float(frac) * max(0, n_rows)))
 
 
+def induced_stop_grams(
+    prep: DataFrame,
+    id_col: str,
+    cfg: LinkConfig,
+    *,
+    cap: int | None = None,
+) -> DataFrame:
+    """The grams a df cap would DROP from the blocking join, with their
+    document frequency — the inspectable face of ``max_block_df`` /
+    ``recommended_block_df``. Run it before a big linkage to see what the
+    cap costs: the output is precisely the stop-gram vocabulary
+    (``"corp"``, ``"inc"``, shared suffix trigrams) whose posting lists
+    would otherwise square inside the gram join, and precisely the grams
+    ``apply_df_cap`` removes at this cap. df-based stopword induction as
+    a first-class diagnostic, sibling of ``assess.skew_profile`` (which
+    profiles an arbitrary pre-aggregated key; this one owns the
+    normalize → trigram pipeline so its numbers match the real join).
+
+    ``prep`` is a prepared side (``functions.normalize.prepare_side``
+    output, as fed to ``candidate_pairs``). ``cap=None`` sizes the cap by
+    the measured scaling law ``recommended_block_df(n_names)`` — one
+    scalar count, the same price ``ann.recommended_n_planes`` pays.
+
+    Returns ``(gram, df, df_share, cap)``: posting-list size, its share
+    of the side's distinct names, and the cap used (so a profile row is
+    self-describing). Scale shape: explode → one map-side-combinable
+    groupBy(gram) count → filter; no joins, no windows, output bounded by
+    the (tiny) over-cap vocabulary.
+    """
+    index = gram_index(prep, id_col, cfg)
+    n_names = index.select(id_col).distinct().count()
+    used_cap = recommended_block_df(n_names) if cap is None else int(cap)
+    return (
+        index.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > used_cap)
+        .select(
+            "gram",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df") / F.lit(float(max(1, n_names))), 6).alias(
+                "df_share"
+            ),
+            F.lit(used_cap).cast("long").alias("cap"),
+        )
+    )
+
+
 def candidate_pairs(
     x_prep: DataFrame,
     y_prep: DataFrame,

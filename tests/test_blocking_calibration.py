@@ -168,3 +168,57 @@ def test_recommended_block_df_scales_with_corpus():
     # at the measured workload, the rule drops the suffix stop-grams
     # (df ~2,500 on a 20k side) that the fixed default cap admitted
     assert recommended_block_df(20_000) < 2_500 <= 10_000
+
+
+def test_induced_stop_grams_matches_apply_df_cap(spark):
+    """The diagnostic must report EXACTLY the grams apply_df_cap removes
+    at the same cap — the two are the same rule, inspected vs applied."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark import LinkConfig
+    from linkorgs_software_spark.functions.normalize import prepare_side
+    from linkorgs_software_spark.operators.blocking import (
+        apply_df_cap,
+        gram_index,
+        induced_stop_grams,
+    )
+
+    cfg = LinkConfig()
+    names = [(f"acme corp {i}",) for i in range(12)] + [
+        ("zebra widgets",),
+        ("zebra gadgets",),
+    ]
+    df = spark.createDataFrame(names, "name string")
+    prep = prepare_side(df, "name", "rec_id", cfg)
+
+    cap = 5
+    reported = {
+        r.gram for r in induced_stop_grams(prep, "rec_id", cfg, cap=cap).collect()
+    }
+    idx = gram_index(prep, "rec_id", cfg)
+    kept = {r.gram for r in apply_df_cap(idx, "gram", cap).select("gram").distinct().collect()}
+    all_grams = {r.gram for r in idx.select("gram").distinct().collect()}
+    assert reported == all_grams - kept
+    assert reported  # the shared "acme corp" grams must be over a cap of 5
+
+    row = induced_stop_grams(prep, "rec_id", cfg, cap=cap).first()
+    assert row.cap == cap
+    # df_share is df over the side's distinct-name count (14 here)
+    full = {
+        r.gram: r for r in induced_stop_grams(prep, "rec_id", cfg, cap=cap).collect()
+    }
+    for g, r in full.items():
+        assert abs(r.df_share - r.df / 14.0) < 1e-6
+
+
+def test_induced_stop_grams_auto_cap_uses_recommended_rule(spark):
+    """cap=None sizes the cap from the side's name count via
+    recommended_block_df — tiny corpus => floor of 500 => nothing over."""
+    from linkorgs_software_spark import LinkConfig
+    from linkorgs_software_spark.functions.normalize import prepare_side
+    from linkorgs_software_spark.operators.blocking import induced_stop_grams
+
+    cfg = LinkConfig()
+    df = spark.createDataFrame([(f"name {i}",) for i in range(20)], "name string")
+    prep = prepare_side(df, "name", "rec_id", cfg)
+    assert induced_stop_grams(prep, "rec_id", cfg).count() == 0
