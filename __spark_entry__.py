@@ -917,6 +917,28 @@ def _q_stop_grams(spark, sf_dir):
     return induced_stop_grams(prep, "rec_id", CFG)
 
 
+def _q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-sharing matrix under a first-8-token prefix
+    content key (the near-mirror detector — the testdata has no
+    byte-identical cross-source docs, but prefix-identical ones): which
+    source pairs ship the same content, with per-pair Jaccard overlap.
+    The first question a training-mixture owner asks before weighting
+    sources — a mirror or re-crawl double-counts a corpus silently."""
+    from linkorgs_software_spark.functions.text import tokens_expr
+    from linkorgs_software_spark.operators.corpus import source_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    # null-propagating prefix key: concat_ws would silently fold NULL text
+    # into md5("") and pair every null-text row across sources
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens_expr(F.lower(F.col("text"))), 1, 8))
+        ),
+    )
+    return source_overlap(docs, key=key)
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1278,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "b3_coverage": _q_b3_coverage,
         "stop_grams": _q_stop_grams,
+        "source_overlap": _q_source_overlap,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1891,6 +1914,24 @@ select dfc.gram, dfc.df::bigint as df,
   round(dfc.df::double / c.n_names, 6) as df_share,
   c.cap as cap
 from dfc, c where dfc.df > c.cap
+""",
+        "source_overlap": f"""
+with hs as (select distinct
+    md5(array_to_string(({toks})[1:8], ' ')) as h, source as src
+  from documents where source is not null and text is not null),
+per as (select src, count(*) as n from hs group by 1),
+sh as (select a.src as source_a, b.src as source_b, count(*) as n_shared
+       from hs a join hs b on a.h = b.h and a.src < b.src
+       group by 1, 2)
+select sh.source_a, sh.source_b,
+  sh.n_shared::bigint as n_shared_contents,
+  pa.n::bigint as n_contents_a,
+  pb.n::bigint as n_contents_b,
+  round(sh.n_shared::double / (pa.n + pb.n - sh.n_shared), 6)
+    as overlap_jaccard
+from sh
+join per pa on pa.src = sh.source_a
+join per pb on pb.src = sh.source_b
 """,
         "b3_coverage": """
 with a as (select c_custkey as id, c_nationkey::varchar as p

@@ -18,7 +18,7 @@ hash (xxhash64/duckdb hash) crosses the oracle boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1525,6 +1525,79 @@ def dup_cluster_profile(
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("singleton_share"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    key: Column | None = None,
+) -> DataFrame:
+    """Cross-source duplicate-sharing matrix: for every pair of sources
+    that ship at least one content-identical document, ``(source_a,
+    source_b, n_shared_contents, n_contents_a, n_contents_b,
+    overlap_jaccard)``.
+
+    ``key`` is the content-identity expression — default ``md5(text)``
+    (byte-identical docs); pass e.g. an md5 over the first-k-token prefix
+    for near-mirror detection, or a SimHash for fuzzier keys. Any
+    deterministic Column works; identity is equality of the key.
+    The slice-level complement of ``exact_dup_groups``: a mirror site, a
+    re-crawled dump, or a licensing overlap shows up as a hot pair long
+    before anyone inspects documents — the standard first question when a
+    training mixture double-counts a corpus. Pairs with zero shared
+    content are absent (inner join); sources are ordered ``a < b`` so
+    each pair appears once.
+
+    Scale shape: one distinct on (content-hash, source), a self-join
+    KEYED ON THE HASH whose per-key fan-out is bounded by C(|sources|, 2)
+    — source cardinality is a mixture-config constant, so nothing
+    squares in data size — then source-pair aggregates joined to the
+    tiny per-source totals. round(·, 6) for oracle parity.
+    """
+    key_expr = F.md5(F.col(text_col)) if key is None else key
+    hs = (
+        df.select(key_expr.alias("_h"), F.col(source_col).alias("_src"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    per_src = hs.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    shared = (
+        hs.alias("a")
+        .join(hs.alias("b"), "_h")
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(
+            F.col("a._src").alias("source_a"), F.col("b._src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )
+    pa = per_src.select(
+        F.col("_src").alias("source_a"), F.col("_n").alias("n_contents_a")
+    )
+    pb = per_src.select(
+        F.col("_src").alias("source_b"), F.col("_n").alias("n_contents_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared_contents").cast("long").alias("n_shared_contents"),
+            F.col("n_contents_a").cast("long").alias("n_contents_a"),
+            F.col("n_contents_b").cast("long").alias("n_contents_b"),
+            F.round(
+                F.col("n_shared_contents")
+                / (
+                    F.col("n_contents_a")
+                    + F.col("n_contents_b")
+                    - F.col("n_shared_contents")
+                ),
+                6,
+            ).alias("overlap_jaccard"),
+        )
     )
 
 

@@ -1333,3 +1333,58 @@ def test_mixture_sample_budget_fill_and_overshoot_bound(spark):
     one = mixture_sample(docs, {"a": 1}, default_budget=15).filter("selected")
     got2 = {r.source: r.n for r in one.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got2 == {"a": 1, "b": 2}
+
+
+def test_source_overlap_hand_checked(spark):
+    """A and B share two contents, A and C share one, B and C nothing —
+    the zero pair is absent, counts and Jaccard are exact."""
+    from linkorgs_software_spark.operators.corpus import source_overlap
+
+    rows = [
+        # source A: contents x, y, z
+        (1, "x", "A"), (2, "y", "A"), (3, "z", "A"),
+        # source B: x, y, w  (shares x, y with A)
+        (4, "x", "B"), (5, "y", "B"), (6, "w", "B"),
+        # source C: z, v    (shares z with A)
+        (7, "z", "C"), (8, "v", "C"),
+        # duplicate content within a source must not inflate counts
+        (9, "x", "A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(df).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C")}
+    ab = got[("A", "B")]
+    assert ab.n_shared_contents == 2
+    assert (ab.n_contents_a, ab.n_contents_b) == (3, 3)
+    assert ab.overlap_jaccard == round(2 / (3 + 3 - 2), 6)
+    ac = got[("A", "C")]
+    assert ac.n_shared_contents == 1
+    assert ac.overlap_jaccard == round(1 / (3 + 2 - 1), 6)
+
+
+def test_source_overlap_null_text_and_custom_key(spark):
+    """NULL text rows drop out under the default key (md5(NULL) is NULL);
+    a custom key expression changes the identity relation."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.corpus import source_overlap
+
+    rows = [
+        (1, None, "A"), (2, "hello world foo", "A"),
+        (3, None, "B"), (4, "hello world bar", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert source_overlap(df).count() == 0  # exact: nothing shared
+    # prefix-2-token key: both docs start "hello world" -> one shared pair.
+    # The key must null-propagate explicitly: bare concat_ws folds NULL
+    # text to md5("") and would pair the two null rows as shared content.
+    key = F.when(
+        F.col("text").isNotNull(),
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 2))),
+    )
+    out = source_overlap(df, key=key).collect()
+    assert len(out) == 1 and out[0].n_shared_contents == 1
+    assert out[0].n_contents_a == 1  # null-text rows dropped from totals too
