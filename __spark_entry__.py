@@ -939,6 +939,23 @@ def _q_source_overlap(spark, sf_dir):
     return source_overlap(docs, key=key)
 
 
+def _q_vocab_divergence(spark, sf_dir):
+    """Per-source unigram-distribution divergence vs the corpus (KL and
+    Jensen-Shannon in nats, plus corpus-mass coverage): the "does this
+    source add diversity or just volume?" mixture diagnostic."""
+    from linkorgs_software_spark.operators.corpus import vocab_divergence
+
+    return vocab_divergence(_read(spark, sf_dir, "documents"))
+
+
+def _q_divergent_terms(spark, sf_dir):
+    """Top-5 over-represented terms per source by log probability ratio
+    (min term count 5): the drill-down companion to vocab_divergence."""
+    from linkorgs_software_spark.operators.corpus import divergent_terms
+
+    return divergent_terms(_read(spark, sf_dir, "documents"), k=5, min_count=5)
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1301,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b3_coverage": _q_b3_coverage,
         "stop_grams": _q_stop_grams,
         "source_overlap": _q_source_overlap,
+        "vocab_divergence": _q_vocab_divergence,
+        "divergent_terms": _q_divergent_terms,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1932,6 +1951,51 @@ select sh.source_a, sh.source_b,
 from sh
 join per pa on pa.src = sh.source_a
 join per pb on pb.src = sh.source_b
+""",
+        "vocab_divergence": f"""
+with t as (select source, unnest({toks}) as term
+           from documents where source is not null),
+st as (select source, term, count(*) as c_st from t group by 1, 2),
+ct as (select term, sum(c_st) as c_t from st group by 1),
+ns as (select source, sum(c_st) as n_s, count(*) as n_terms
+       from st group by 1),
+n as (select sum(c_st) as n from st),
+j as (select st.source, ns.n_s, ns.n_terms,
+        st.c_st::double / ns.n_s as p_s,
+        ct.c_t::double / (select n from n) as p_c
+      from st join ct using (term) join ns using (source)),
+agg as (select source, n_s, n_terms,
+          sum(p_s * ln(p_s / p_c)) as kl,
+          sum(p_s * ln(2 * p_s / (p_s + p_c))
+              + p_c * ln(2 * p_c / (p_s + p_c))) as jin,
+          sum(p_c) as cov
+        from j group by 1, 2, 3)
+select source, n_s::bigint as n_tokens, n_terms::bigint as n_terms,
+  round(cov, 6) as corpus_mass_coverage,
+  round(kl, 6) as kl_vs_corpus,
+  round(0.5 * jin + 0.5 * ln(2) * (1 - cov), 6) as jsd_vs_corpus
+from agg
+""",
+        "divergent_terms": f"""
+with t as (select source, unnest({toks}) as term
+           from documents where source is not null),
+st as (select source, term, count(*) as c_st from t group by 1, 2),
+ct as (select term, sum(c_st) as c_t from st group by 1),
+ns as (select source, sum(c_st) as n_s from st group by 1),
+n as (select sum(c_st) as n from st),
+sc as (select st.source, st.term, st.c_st,
+         round(st.c_st::double / ns.n_s, 6) as p_source,
+         round(ct.c_t::double / (select n from n), 6) as p_corpus,
+         round(ln((st.c_st::double / ns.n_s)
+                  / (ct.c_t::double / (select n from n))), 6) as log_ratio
+       from st join ct using (term) join ns using (source)
+       where st.c_st >= 5),
+r as (select *, row_number() over
+        (partition by source order by log_ratio desc, term asc) as rank
+      from sc)
+select source, term, c_st::bigint as term_count,
+  p_source, p_corpus, log_ratio, rank::bigint as rank
+from r where rank <= 5
 """,
         "b3_coverage": """
 with a as (select c_custkey as id, c_nationkey::varchar as p

@@ -1601,6 +1601,167 @@ def source_overlap(
     )
 
 
+def _source_term_frame(
+    df: DataFrame, *, text_col: str, source_col: str
+) -> tuple[DataFrame, int]:
+    """Shared prep for the vocabulary-divergence family: the persisted
+    per-(source, term) count frame over lowercase whitespace tokens
+    (NULL sources dropped — they belong to no mixture slice), plus the
+    corpus token total as one driver scalar. The frame feeds three
+    downstream aggregates (corpus term counts, per-source totals, the
+    scored join), so it is persisted and registered with the cache
+    registry (``release_caches`` lifecycle) like ``skew_profile``'s
+    counts — without it the explode + count shuffle runs once per
+    consuming branch."""
+    from ..functions.text import tokens_expr
+
+    st = register_cache(
+        df.filter(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = st.agg(F.sum("c_st")).collect()[0][0] or 0
+    return st, int(n_total)
+
+
+def vocab_divergence(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution divergence vs the whole corpus:
+    ``(source, n_tokens, n_terms, corpus_mass_coverage, kl_vs_corpus,
+    jsd_vs_corpus)`` — the mixture-diagnostics measurement behind "is
+    this source distributionally redundant or distinctive?". A source
+    whose unigram distribution sits on top of the corpus (JSD ≈ 0) adds
+    volume, not diversity; a high-JSD source is the one a reweighting
+    pass should protect.
+
+    ``kl_vs_corpus`` is KL(P_source ‖ P_corpus) — finite without
+    smoothing because every source term occurs in the corpus, and
+    zero-probability source terms contribute 0 by convention.
+    ``jsd_vs_corpus`` is the Jensen–Shannon divergence
+    ``½·KL(P_s‖M) + ½·KL(P_c‖M)``, ``M = ½(P_s+P_c)``, in nats
+    (bounded by ln 2). ``corpus_mass_coverage`` is the share of corpus
+    token mass carried by terms the source uses at all.
+
+    Scale shape: the corpus-side half of the JSD sum nominally ranges
+    over the FULL vocabulary per source; it is decomposed so only the
+    per-(source, term) pairs the source actually has are touched —
+    for terms absent from the source, ``M = P_c/2`` exactly, so that
+    remainder collapses to ``ln 2 · (1 − coverage)``. One explode, one
+    (source, term) count shuffle (persisted, three consumers), a join
+    against the vocabulary-bounded corpus term counts, a broadcast of
+    the per-source totals (source cardinality is a mixture-config
+    constant), and per-source sums. No pair joins, no global windows;
+    the corpus total is one collected scalar. round(·, 6) for oracle
+    parity (ln is IEEE libm on both engines).
+    """
+    import math
+
+    st, n_total = _source_term_frame(df, text_col=text_col, source_col=source_col)
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_t").cast("double") / F.lit(float(max(n_total, 1)))
+    j = (
+        st.join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "n_s",
+            "n_terms",
+            p_s.alias("p_s"),
+            p_c.alias("p_c"),
+        )
+    )
+    agg = j.groupBy("source", "n_s", "n_terms").agg(
+        F.sum(F.col("p_s") * F.log(F.col("p_s") / F.col("p_c"))).alias("_kl"),
+        F.sum(
+            F.col("p_s")
+            * F.log(F.lit(2.0) * F.col("p_s") / (F.col("p_s") + F.col("p_c")))
+            + F.col("p_c")
+            * F.log(F.lit(2.0) * F.col("p_c") / (F.col("p_s") + F.col("p_c")))
+        ).alias("_jin"),
+        F.sum("p_c").alias("_cov"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.round(F.col("_cov"), 6).alias("corpus_mass_coverage"),
+        F.round(F.col("_kl"), 6).alias("kl_vs_corpus"),
+        F.round(
+            F.lit(0.5) * F.col("_jin")
+            + F.lit(0.5 * math.log(2.0)) * (F.lit(1.0) - F.col("_cov")),
+            6,
+        ).alias("jsd_vs_corpus"),
+    )
+
+
+def divergent_terms(
+    df: DataFrame,
+    *,
+    k: int = 10,
+    min_count: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-``k`` over-represented terms per source by log probability
+    ratio ``ln(p_source / p_corpus)``: ``(source, term, term_count,
+    p_source, p_corpus, log_ratio, rank)`` — the drill-down companion
+    to ``vocab_divergence`` ("src7 diverges — on WHAT?"). ``min_count``
+    drops rare-term noise (a 1-count term in a small source posts a
+    huge ratio that means nothing).
+
+    Same single-explode shape as ``vocab_divergence``; the ranking
+    window is PARTITIONED by source, ties break (log_ratio desc, term
+    asc) so the top-k is stable run-to-run and against the SQL oracle.
+    """
+    st, n_total = _source_term_frame(df, text_col=text_col, source_col=source_col)
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_t").cast("double") / F.lit(float(max(n_total, 1)))
+    scored = (
+        st.filter(F.col("c_st") >= min_count)
+        .join(ct, "term")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "term",
+            F.col("c_st").cast("long").alias("term_count"),
+            F.round(p_s, 6).alias("p_source"),
+            F.round(p_c, 6).alias("p_corpus"),
+            F.round(F.log(p_s / p_c), 6).alias("log_ratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("log_ratio").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            "term",
+            "term_count",
+            "p_source",
+            "p_corpus",
+            "log_ratio",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pii_profile(
     df: DataFrame,
     *,

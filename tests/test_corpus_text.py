@@ -1388,3 +1388,79 @@ def test_source_overlap_null_text_and_custom_key(spark):
     out = source_overlap(df, key=key).collect()
     assert len(out) == 1 and out[0].n_shared_contents == 1
     assert out[0].n_contents_a == 1  # null-text rows dropped from totals too
+
+
+def test_vocab_divergence_hand_checked(spark):
+    """Two sources with known token counts: KL and the decomposed JSD
+    match the literal textbook sums computed here in Python."""
+    import math
+
+    from linkorgs_software_spark.operators.corpus import vocab_divergence
+
+    # A: a a a b   B: b b c d   corpus: a=3 b=3 c=1 d=1, n=8
+    rows = [(1, "a a a b", "A"), (2, "b b c d", "B"), (3, "x", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in vocab_divergence(df).collect()}
+    assert set(got) == {"A", "B"}  # NULL source dropped
+
+    def expected(counts, corpus, n_s, n):
+        p_c_all = {t: c / n for t, c in corpus.items()}
+        kl = sum((c / n_s) * math.log((c / n_s) / p_c_all[t]) for t, c in counts.items())
+        cov = sum(p_c_all[t] for t in counts)
+        jin = sum(
+            (c / n_s) * math.log(2 * (c / n_s) / ((c / n_s) + p_c_all[t]))
+            + p_c_all[t] * math.log(2 * p_c_all[t] / ((c / n_s) + p_c_all[t]))
+            for t, c in counts.items()
+        )
+        jsd = 0.5 * jin + 0.5 * math.log(2) * (1 - cov)
+        return round(cov, 6), round(kl, 6), round(jsd, 6)
+
+    corpus = {"a": 3, "b": 3, "c": 1, "d": 1}
+    cov, kl, jsd = expected({"a": 3, "b": 1}, corpus, 4, 8)
+    a = got["A"]
+    assert (a.n_tokens, a.n_terms) == (4, 2)
+    assert (a.corpus_mass_coverage, a.kl_vs_corpus, a.jsd_vs_corpus) == (cov, kl, jsd)
+    cov, kl, jsd = expected({"b": 2, "c": 1, "d": 1}, corpus, 4, 8)
+    b = got["B"]
+    assert (b.n_tokens, b.n_terms) == (4, 3)
+    assert (b.corpus_mass_coverage, b.kl_vs_corpus, b.jsd_vs_corpus) == (cov, kl, jsd)
+    # JSD bounded by ln 2
+    assert 0 <= a.jsd_vs_corpus <= math.log(2) and 0 <= b.jsd_vs_corpus <= math.log(2)
+
+
+def test_vocab_divergence_single_source_is_zero(spark):
+    """One source IS the corpus: KL = JSD = 0, coverage = 1 exactly."""
+    from linkorgs_software_spark.operators.corpus import vocab_divergence
+
+    df = spark.createDataFrame(
+        [(1, "p q r p", "only"), (2, "q r", "only")],
+        "doc_id long, text string, source string",
+    )
+    r = vocab_divergence(df).collect()
+    assert len(r) == 1
+    assert r[0].corpus_mass_coverage == 1.0
+    assert r[0].kl_vs_corpus == 0.0
+    assert r[0].jsd_vs_corpus == 0.0
+
+
+def test_divergent_terms_ranking_and_min_count(spark):
+    """The term exclusive to a source tops its ranking; min_count drops
+    rare terms even when their ratio is extreme."""
+    from linkorgs_software_spark.operators.corpus import divergent_terms
+
+    rows = [
+        (1, "x x x x x common common", "A"),
+        (2, "common common common common rare", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = divergent_terms(df, k=3, min_count=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # A's top term is its exclusive 'x' (5/7 vs 5/12 corpus)
+    assert by_src["A"][0].term == "x" and by_src["A"][0].rank == 1
+    assert by_src["A"][0].term_count == 5
+    # 'rare' (count 1 in B) is filtered by min_count=2 despite a big ratio
+    assert all(r.term != "rare" for r in by_src.get("B", []))
+    # ranks are 1..k contiguous per source
+    assert [r.rank for r in by_src["A"]] == list(range(1, len(by_src["A"]) + 1))
