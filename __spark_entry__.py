@@ -956,6 +956,17 @@ def _q_divergent_terms(spark, sf_dir):
     return divergent_terms(_read(spark, sf_dir, "documents"), k=5, min_count=5)
 
 
+def _q_embedding_group_profile(spark, sf_dir):
+    """Per-label embedding-space profile over the embeddings table:
+    centroid norm, within-group cohesion, and centroid-to-global cosine
+    — the semantic-diversity complement to vocab_divergence."""
+    from linkorgs_software_spark.operators.ann import embedding_group_profile
+
+    return embedding_group_profile(
+        _read(spark, sf_dir, "embeddings"), group_col="label", vec_col="embedding"
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1320,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         "vocab_divergence": _q_vocab_divergence,
         "divergent_terms": _q_divergent_terms,
+        "embedding_group_profile": _q_embedding_group_profile,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1996,6 +2008,43 @@ r as (select *, row_number() over
 select source, term, c_st::bigint as term_count,
   p_source, p_corpus, log_ratio, rank::bigint as rank
 from r where rank <= 5
+""",
+        "embedding_group_profile": """
+with base as (select label as grp,
+    list_transform(embedding, x -> x::double) as v
+  from embeddings where embedding is not null and label is not null),
+ex as (select grp, u.i as ord, v[u.i] as val
+       from base, unnest(range(1, 65)) as u(i)),
+gc as (select grp, ord, avg(val) as m from ex group by 1, 2),
+cent as (select grp, list(m order by ord) as c from gc group by 1),
+gl as (select list(m order by ord) as g
+         from (select ord, avg(val) as m from ex group by 1) q),
+counts as (select grp, count(*) as n_vecs from base group by 1),
+coh as (select b.grp,
+    avg(case when sqrt(list_sum(list_transform(range(1, 65),
+                 i -> b.v[i] * b.v[i]))) = 0
+           or sqrt(list_sum(list_transform(range(1, 65),
+                 i -> cent.c[i] * cent.c[i]))) = 0
+         then 0.0
+         else list_sum(list_transform(range(1, 65), i -> b.v[i] * cent.c[i]))
+              / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> b.v[i] * b.v[i])))
+               * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> cent.c[i] * cent.c[i])))) end) as mean_cos
+  from base b join cent on b.grp = cent.grp group by 1)
+select cent.grp as "group", counts.n_vecs::bigint as n_vecs,
+  round(sqrt(list_sum(list_transform(range(1, 65),
+      i -> cent.c[i] * cent.c[i]))), 6) as centroid_norm,
+  round(coh.mean_cos, 6) as mean_cos_to_centroid,
+  round(list_sum(list_transform(range(1, 65), i -> cent.c[i] * g.g[i]))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+              i -> cent.c[i] * cent.c[i])))
+         * sqrt(list_sum(list_transform(range(1, 65),
+              i -> g.g[i] * g.g[i])))), 6) as cos_to_global
+from cent
+join counts on counts.grp = cent.grp
+join coh on coh.grp = cent.grp
+cross join gl g
 """,
         "b3_coverage": """
 with a as (select c_custkey as id, c_nationkey::varchar as p

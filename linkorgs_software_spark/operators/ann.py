@@ -583,3 +583,75 @@ def ivf_balance(
             6,
         ).alias("max_over_avg"),
     )
+
+
+def embedding_group_profile(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding-space profile: ``(group, n_vecs,
+    centroid_norm, mean_cos_to_centroid, cos_to_global)`` — the semantic
+    complement to the token-level ``vocab_divergence``. A group (corpus
+    source, topic label, dedup cluster) whose centroid sits on the
+    global centroid (``cos_to_global`` ≈ 1) is semantically redundant
+    with the corpus; a tight group (``mean_cos_to_centroid`` ≈ 1) is
+    internally homogeneous — together they answer "which slices add
+    semantic diversity, and which are near-duplicate blobs?".
+
+    ``centroid_norm`` is the L2 norm of the per-dimension mean — for
+    unit-normalized inputs it doubles as a cohesion score (1 = all
+    vectors identical, → 0 = isotropic spread). Cosines follow the
+    engine-wide zero-norm → 0.0 convention of ``cosine_sim_expr``.
+
+    Fully lazy, no driver collect: one ``posexplode`` (linear in
+    n·dim), per-(group, dim) and per-dim mean aggregates — both keyed
+    on bounded vocabularies — centroids rebuilt as arrays via
+    ``array_sort(collect_list(struct(pos, m)))`` (dim entries per
+    group), then ONE broadcast join of the |groups|-row centroid frame
+    back to the vectors for the cohesion average and a broadcast of the
+    1-row global centroid. Nothing pair-joins; the explode shuffle is
+    the only data-sized exchange. NULL vectors and NULL groups are
+    dropped. round(·, 6) for oracle parity.
+    """
+    base = (
+        df.filter(F.col(vec_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+    )
+    ex = base.select("grp", F.posexplode("_v").alias("pos", "val"))
+    gc = ex.groupBy("grp", "pos").agg(F.avg("val").alias("m"))
+    as_array = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+    )
+    cent = gc.groupBy("grp").agg(as_array.alias("_c"))
+    glob = (
+        ex.groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .agg(as_array.alias("_g"))
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_vecs"))
+    coh = (
+        base.join(F.broadcast(cent), "grp")
+        .select("grp", cosine_sim_expr("_v", "_c").alias("_cos"))
+        .groupBy("grp")
+        .agg(F.avg("_cos").alias("_mean_cos"))
+    )
+    norm2 = F.aggregate(
+        F.col("_c"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        cent.join(F.broadcast(counts), "grp")
+        .join(F.broadcast(coh), "grp")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("grp").alias("group"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(F.sqrt(norm2), 6).alias("centroid_norm"),
+            F.round(F.col("_mean_cos"), 6).alias("mean_cos_to_centroid"),
+            F.round(cosine_sim_expr("_c", "_g"), 6).alias("cos_to_global"),
+        )
+    )

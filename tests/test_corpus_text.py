@@ -1464,3 +1464,45 @@ def test_divergent_terms_ranking_and_min_count(spark):
     assert all(r.term != "rare" for r in by_src.get("B", []))
     # ranks are 1..k contiguous per source
     assert [r.rank for r in by_src["A"]] == list(range(1, len(by_src["A"]) + 1))
+
+
+def test_embedding_group_profile_hand_checked(spark):
+    """2-D fixture with known centroids: norms, cohesion, and centroid-to-
+    global cosines match values computed by hand."""
+    from linkorgs_software_spark.operators.ann import embedding_group_profile
+
+    rows = [
+        (1, [1.0, 0.0], "A"), (2, [0.0, 1.0], "A"),
+        (3, [1.0, 0.0], "B"), (4, [1.0, 0.0], "B"),
+        (5, None, "B"), (6, [1.0, 1.0], None),  # null vec / group dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r.group: r for r in embedding_group_profile(df, group_col="label").collect()}
+    assert set(got) == {"A", "B"}
+    a, b = got["A"], got["B"]
+    # A centroid (0.5, 0.5); B centroid (1, 0); global (0.75, 0.25)
+    assert (a.n_vecs, b.n_vecs) == (2, 2)
+    assert a.centroid_norm == round(0.5**0.5, 6)
+    assert b.centroid_norm == 1.0
+    assert a.mean_cos_to_centroid == round(0.5 / (0.5**0.5), 6)  # 0.707107
+    assert b.mean_cos_to_centroid == 1.0
+    gnorm = (0.75**2 + 0.25**2) ** 0.5
+    assert a.cos_to_global == round(0.5 / ((0.5**0.5) * gnorm), 6)
+    assert b.cos_to_global == round(0.75 / gnorm, 6)
+
+
+def test_embedding_group_profile_zero_vectors_cosine_convention(spark):
+    """An all-zero group hits the zero-norm -> 0.0 cosine convention and
+    a zero centroid norm instead of NaN/divide-by-zero."""
+    from linkorgs_software_spark.operators.ann import embedding_group_profile
+
+    rows = [(1, [0.0, 0.0], "Z"), (2, [0.0, 0.0], "Z"), (3, [3.0, 4.0], "P")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r.group: r for r in embedding_group_profile(df, group_col="label").collect()}
+    z = got["Z"]
+    assert z.centroid_norm == 0.0
+    assert z.mean_cos_to_centroid == 0.0
+    assert z.cos_to_global == 0.0
+    p = got["P"]
+    assert p.centroid_norm == 5.0
+    assert p.mean_cos_to_centroid == 1.0
