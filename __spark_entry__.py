@@ -967,6 +967,16 @@ def _q_embedding_group_profile(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle-containment near-dups (|A∩B|/|A| >= 0.8): the
+    subsumed-document / quote-expansion pattern Jaccard misses."""
+    from linkorgs_software_spark.operators.corpus import containment_pairs
+
+    return containment_pairs(
+        _read(spark, sf_dir, "documents"), shingle_k=3, threshold=0.8
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1332,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_divergence": _q_vocab_divergence,
         "divergent_terms": _q_divergent_terms,
         "embedding_group_profile": _q_embedding_group_profile,
+        "containment_pairs": _q_containment_pairs,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1566,6 +1577,27 @@ verified as (
       / len(list_distinct(list_concat(x.sh, y.sh)))::double as sim
   from cand c join shs x on c.id_a = x.id join shs y on c.id_b = y.id)
 select id_a, id_b, round(sim, 6) as jaccard_sim from verified where sim >= 0.3
+""",
+        "containment_pairs": f"""
+with shs as (select doc_id as id, {shingles} as sh from documents),
+idx as (select id, unnest(sh) as s from shs),
+keep as (select s from idx group by s having count(*) <= 5000),
+idx2 as (select idx.id, idx.s from idx join keep using (s)),
+cand as (select distinct a.id as id_a, b.id as id_b
+         from idx2 a join idx2 b using (s) where a.id < b.id),
+v as (select c.id_a, c.id_b,
+        len(list_intersect(x.sh, y.sh))::double as i,
+        len(x.sh)::bigint as na, len(y.sh)::bigint as nb
+      from cand c join shs x on c.id_a = x.id join shs y on c.id_b = y.id)
+select id_a as contained_id, id_b as container_id,
+  round(i / na, 6) as containment,
+  na as n_shingles_contained, nb as n_shingles_container
+from v where i / na >= 0.8
+union all
+select id_b as contained_id, id_a as container_id,
+  round(i / nb, 6) as containment,
+  nb as n_shingles_contained, na as n_shingles_container
+from v where i / nb >= 0.8
 """,
         "simhash_pairs": f"""
 with t as (select doc_id, {toks} as toks from documents),

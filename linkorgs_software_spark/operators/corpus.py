@@ -454,6 +454,89 @@ def ngram_jaccard_dups(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_block_df: int = 5000,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    ``(contained_id, container_id, containment, n_shingles_contained,
+    n_shingles_container)`` for every ordered pair where
+    ``|S_A ∩ S_B| / |S_A| >= threshold`` (Broder's containment measure).
+
+    The case Jaccard misses: a short document wholly quoted inside a
+    much longer one scores near-zero Jaccard (the union is dominated by
+    the long doc) but containment ≈ 1 — exactly the subsumed-document /
+    quote-expansion pattern a dedup pass wants to catch. Each direction
+    is emitted independently; a pair of true near-dups appears twice
+    (both containments high), a subsumption once.
+
+    Same two-phase shape as ``ngram_jaccard_dups``: candidates from the
+    df-capped shingle posting lists (one exploded index, shared-shingle
+    join, never all-pairs), then EXACT verification on the full distinct
+    shingle arrays via ``array_intersect`` — the df-cap only bounds the
+    candidate join, never the reported score. Empty docs have no
+    shingles, enter no posting list, and never pair. round(·, 6) for
+    oracle parity.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_expr(text_col, shingle_k).alias("shingles"),
+    )
+    idx = register_cache(
+        sh.select("id", F.explode("shingles").alias("s")).persist(
+            StorageLevel.MEMORY_AND_DISK_DESER
+        )
+    )
+    dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    idx = idx.join(
+        F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")),
+        "s",
+        "left_semi",
+    )
+    cand = (
+        idx.alias("a")
+        .join(idx.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    scored = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("_i"),
+            F.size("sh_a").cast("long").alias("_na"),
+            F.size("sh_b").cast("long").alias("_nb"),
+        )
+    )
+    t = F.lit(float(threshold))
+    fwd = scored.filter(F.col("_i") / F.col("_na") >= t).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("_i") / F.col("_na"), 6).alias("containment"),
+        F.col("_na").alias("n_shingles_contained"),
+        F.col("_nb").alias("n_shingles_container"),
+    )
+    rev = scored.filter(F.col("_i") / F.col("_nb") >= t).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("_i") / F.col("_nb"), 6).alias("containment"),
+        F.col("_nb").alias("n_shingles_contained"),
+        F.col("_na").alias("n_shingles_container"),
+    )
+    return fwd.unionByName(rev)
+
+
 def minhash_signatures(
     df: DataFrame,
     *,

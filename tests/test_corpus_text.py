@@ -1506,3 +1506,43 @@ def test_embedding_group_profile_zero_vectors_cosine_convention(spark):
     p = got["P"]
     assert p.centroid_norm == 5.0
     assert p.mean_cos_to_centroid == 1.0
+
+
+def test_containment_pairs_subsumption_one_direction(spark):
+    """A short doc quoted verbatim inside a long doc: containment 1.0 in
+    one direction only, while its Jaccard would be far below threshold."""
+    from linkorgs_software_spark.operators.corpus import containment_pairs
+
+    short = "alpha beta gamma delta"
+    long = (
+        "intro words here " + short + " and then a very long tail "
+        "with many additional tokens stretching the union far out"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content block")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(df, shingle_k=3, threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.contained_id, r.container_id) == (1, 2)
+    assert r.containment == 1.0
+    assert r.n_shingles_contained < r.n_shingles_container
+
+
+def test_containment_pairs_near_identical_both_directions(spark):
+    """Two near-identical docs emit BOTH directions; empty docs never
+    pair (no shingles, no posting-list entry)."""
+    from linkorgs_software_spark.operators.corpus import containment_pairs
+
+    a = "one two three four five six seven eight nine ten"
+    b = a + " eleven"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = containment_pairs(df, shingle_k=3, threshold=0.8).collect()
+    dirs = {(r.contained_id, r.container_id) for r in out}
+    assert dirs == {(1, 2), (2, 1)}
+    by_dir = {(r.contained_id, r.container_id): r.containment for r in out}
+    assert by_dir[(1, 2)] == 1.0        # all of A's shingles are in B
+    assert 0.8 <= by_dir[(2, 1)] < 1.0  # B has one extra shingle
