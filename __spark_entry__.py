@@ -977,6 +977,20 @@ def _q_containment_pairs(spark, sf_dir):
     )
 
 
+def _q_distribution_drift(spark, sf_dir):
+    """Per-day drift of the event-type mix vs the whole stream (KL, JSD,
+    total variation): the input monitor an always-on ingestion pipeline
+    alarms on when a producer breaks or a new source comes online."""
+    from linkorgs_software_spark.operators.drift import distribution_drift
+
+    return distribution_drift(
+        _read(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="event_type",
+        window_seconds=86400,
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1343,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divergent_terms": _q_divergent_terms,
         "embedding_group_profile": _q_embedding_group_profile,
         "containment_pairs": _q_containment_pairs,
+        "distribution_drift": _q_distribution_drift,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1781,6 +1796,32 @@ from s group by 1, 2
 """,
         "props_json": """
 select event_id, json_extract_string(props, '$.k') as k_val from events
+""",
+        "distribution_drift": """
+with st as (select floor(epoch(ts) / 86400.0)::bigint as win, event_type as key,
+    count(*)::double as c
+  from events where ts is not null and event_type is not null
+  group by 1, 2),
+ct as (select key, sum(c) as c_t from st group by 1),
+ns as (select win, sum(c) as n_g, count(*) as n_keys from st group by 1),
+n as (select sum(c) as n from st),
+j as (select st.win, ns.n_g, ns.n_keys,
+        st.c / ns.n_g as p_g,
+        ct.c_t / (select n from n) as p_c
+      from st join ct using (key) join ns using (win)),
+agg as (select win, n_g, n_keys,
+          sum(p_g * ln(p_g / p_c)) as kl,
+          sum(p_g * ln(2 * p_g / (p_g + p_c))
+              + p_c * ln(2 * p_c / (p_g + p_c))) as jin,
+          sum(abs(p_g - p_c)) as adiff,
+          sum(p_c) as cov
+        from j group by 1, 2, 3)
+select win, n_g::bigint as n_events, n_keys::bigint as n_keys,
+  round(cov, 6) as pooled_mass_coverage,
+  round(kl, 6) as kl_vs_overall,
+  round(0.5 * jin + 0.5 * ln(2) * (1 - cov), 6) as jsd_vs_overall,
+  round(0.5 * (adiff + (1 - cov)), 6) as tvd_vs_overall
+from agg
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

@@ -1687,15 +1687,16 @@ def source_overlap(
 def _source_term_frame(
     df: DataFrame, *, text_col: str, source_col: str
 ) -> tuple[DataFrame, int]:
-    """Shared prep for the vocabulary-divergence family: the persisted
-    per-(source, term) count frame over lowercase whitespace tokens
-    (NULL sources dropped — they belong to no mixture slice), plus the
-    corpus token total as one driver scalar. The frame feeds three
-    downstream aggregates (corpus term counts, per-source totals, the
-    scored join), so it is persisted and registered with the cache
-    registry (``release_caches`` lifecycle) like ``skew_profile``'s
-    counts — without it the explode + count shuffle runs once per
-    consuming branch."""
+    """Prep for ``divergent_terms``: the persisted per-(source, term)
+    count frame over lowercase whitespace tokens (NULL sources dropped —
+    they belong to no mixture slice), plus the corpus token total as one
+    driver scalar. The frame feeds three downstream branches (corpus
+    term counts, per-source totals, the scored join), so it is persisted
+    and registered with the cache registry (``release_caches``
+    lifecycle) like ``skew_profile``'s counts — without it the explode +
+    count shuffle runs once per consuming branch. (``vocab_divergence``
+    uses the shared ``categorical_divergence`` core instead, which
+    persists its own count frame.)"""
     from ..functions.text import tokens_expr
 
     st = register_cache(
@@ -1735,58 +1736,41 @@ def vocab_divergence(
     token mass carried by terms the source uses at all.
 
     Scale shape: the corpus-side half of the JSD sum nominally ranges
-    over the FULL vocabulary per source; it is decomposed so only the
-    per-(source, term) pairs the source actually has are touched —
-    for terms absent from the source, ``M = P_c/2`` exactly, so that
-    remainder collapses to ``ln 2 · (1 − coverage)``. One explode, one
-    (source, term) count shuffle (persisted, three consumers), a join
+    over the FULL vocabulary per source; ``categorical_divergence``
+    (``operators/drift.py`` — the shared divergence core, also behind
+    ``distribution_drift``) decomposes it so only the per-(source,
+    term) pairs the source actually has are touched — for terms absent
+    from the source, ``M = P_c/2`` exactly, so that remainder collapses
+    to ``ln 2 · (1 − coverage)``. One explode, one (source, term) count
+    shuffle (persisted inside the core, three consumers), a join
     against the vocabulary-bounded corpus term counts, a broadcast of
     the per-source totals (source cardinality is a mixture-config
     constant), and per-source sums. No pair joins, no global windows;
     the corpus total is one collected scalar. round(·, 6) for oracle
     parity (ln is IEEE libm on both engines).
     """
-    import math
+    from ..functions.text import tokens_expr
+    from .drift import categorical_divergence
 
-    st, n_total = _source_term_frame(df, text_col=text_col, source_col=source_col)
-    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
-    ns = st.groupBy("source").agg(
-        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
-    )
-    p_s = F.col("c_st").cast("double") / F.col("n_s").cast("double")
-    p_c = F.col("c_t").cast("double") / F.lit(float(max(n_total, 1)))
-    j = (
-        st.join(ct, "term")
-        .join(F.broadcast(ns), "source")
+    counts = (
+        df.filter(F.col(source_col).isNotNull())
         .select(
-            "source",
-            "n_s",
-            "n_terms",
-            p_s.alias("p_s"),
-            p_c.alias("p_c"),
+            F.col(source_col).alias("source"),
+            F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term"),
         )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    agg = j.groupBy("source", "n_s", "n_terms").agg(
-        F.sum(F.col("p_s") * F.log(F.col("p_s") / F.col("p_c"))).alias("_kl"),
-        F.sum(
-            F.col("p_s")
-            * F.log(F.lit(2.0) * F.col("p_s") / (F.col("p_s") + F.col("p_c")))
-            + F.col("p_c")
-            * F.log(F.lit(2.0) * F.col("p_c") / (F.col("p_s") + F.col("p_c")))
-        ).alias("_jin"),
-        F.sum("p_c").alias("_cov"),
+    out = categorical_divergence(
+        counts, group_col="source", key_col="term", count_col="c"
     )
-    return agg.select(
-        "source",
-        F.col("n_s").cast("long").alias("n_tokens"),
-        F.col("n_terms").cast("long").alias("n_terms"),
-        F.round(F.col("_cov"), 6).alias("corpus_mass_coverage"),
-        F.round(F.col("_kl"), 6).alias("kl_vs_corpus"),
-        F.round(
-            F.lit(0.5) * F.col("_jin")
-            + F.lit(0.5 * math.log(2.0)) * (F.lit(1.0) - F.col("_cov")),
-            6,
-        ).alias("jsd_vs_corpus"),
+    return out.select(
+        F.col("group").alias("source"),
+        F.col("n_obs").alias("n_tokens"),
+        F.col("n_keys").alias("n_terms"),
+        F.col("pooled_mass_coverage").alias("corpus_mass_coverage"),
+        F.col("kl_vs_pooled").alias("kl_vs_corpus"),
+        F.col("jsd_vs_pooled").alias("jsd_vs_corpus"),
     )
 
 

@@ -1546,3 +1546,81 @@ def test_containment_pairs_near_identical_both_directions(spark):
     by_dir = {(r.contained_id, r.container_id): r.containment for r in out}
     assert by_dir[(1, 2)] == 1.0        # all of A's shingles are in B
     assert 0.8 <= by_dir[(2, 1)] < 1.0  # B has one extra shingle
+
+
+def test_categorical_divergence_absent_key_remainder(spark):
+    """A group missing a pooled key exercises the closed-form JSD/TVD
+    remainders; values match the literal textbook sums over the FULL
+    key set computed here in Python."""
+    import math
+
+    from linkorgs_software_spark.operators.drift import categorical_divergence
+
+    # g1: a=3, b=1   g2: a=1, c=3   pooled: a=4, b=1, c=3, n=8
+    counts = spark.createDataFrame(
+        [("g1", "a", 3), ("g1", "b", 1), ("g2", "a", 1), ("g2", "c", 3)],
+        "grp string, key string, n long",
+    )
+    got = {
+        r.group: r
+        for r in categorical_divergence(
+            counts, group_col="grp", key_col="key", count_col="n"
+        ).collect()
+    }
+
+    def expected(dist, pooled, n_g, n):
+        full = {k: pooled[k] / n for k in pooled}
+        pg = {k: c / n_g for k, c in dist.items()}
+        kl = sum(p * math.log(p / full[k]) for k, p in pg.items())
+        # textbook sums over the FULL key set (absent keys as p_g = 0)
+        jsd = 0.0
+        tvd = 0.0
+        for k, pc in full.items():
+            p = pg.get(k, 0.0)
+            m = 0.5 * (p + pc)
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            if pc > 0:
+                jsd += 0.5 * pc * math.log(pc / m)
+            tvd += 0.5 * abs(p - pc)
+        cov = sum(full[k] for k in dist)
+        return round(cov, 6), round(kl, 6), round(jsd, 6), round(tvd, 6)
+
+    pooled = {"a": 4, "b": 1, "c": 3}
+    for grp, dist in (("g1", {"a": 3, "b": 1}), ("g2", {"a": 1, "c": 3})):
+        cov, kl, jsd, tvd = expected(dist, pooled, 4, 8)
+        r = got[grp]
+        assert r.pooled_mass_coverage == cov
+        assert r.kl_vs_pooled == kl
+        assert r.jsd_vs_pooled == jsd, grp
+        assert r.tvd_vs_pooled == tvd, grp
+    assert got["g1"].n_obs == 4 and got["g1"].n_keys == 2
+
+
+def test_distribution_drift_windows_and_uniform_invariant(spark):
+    """Epoch-day bucketing, and a stream whose windows all share the
+    pooled mix drifts by exactly zero."""
+    import datetime as dt
+
+    from linkorgs_software_spark.operators.drift import distribution_drift
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for etype, k in (("click", 2), ("view", 1)):
+            for _ in range(k):
+                eid += 1
+                rows.append((eid, base + dt.timedelta(days=day), etype))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = distribution_drift(df, window_seconds=86400).collect()
+    assert len(out) == 3
+    assert sorted(r.win for r in out) == sorted(
+        int((base + dt.timedelta(days=d)).timestamp() // 86400) for d in range(3)
+    )
+    for r in out:
+        assert r.n_events == 3 and r.n_keys == 2
+        assert r.pooled_mass_coverage == 1.0
+        assert r.kl_vs_overall == 0.0
+        assert r.jsd_vs_overall == 0.0
+        assert r.tvd_vs_overall == 0.0
