@@ -991,6 +991,64 @@ def _q_distribution_drift(spark, sf_dir):
     )
 
 
+def _q_canonical_entities(spark, sf_dir):
+    """Survivorship / golden-record election over the orders table: each
+    customer's orders form an entity cluster and the canonical form of its
+    order priority is elected by frequency (ties: shortest, then
+    lexicographic) — the step that turns a resolved partition into a
+    publishable entity directory, with per-entity agreement stats."""
+    from linkorgs_software_spark.operators.cluster import canonicalize_clusters
+
+    orders = _read(spark, sf_dir, "orders")
+    return canonicalize_clusters(
+        orders, cluster_col="o_custkey", name_col="o_orderpriority"
+    )
+
+
+def _q_pairwise_clusters(spark, sf_dir):
+    """Pairwise clustering precision/recall/F1 + Adjusted Rand Index
+    between the same two customer partitions as ``b3_clusters`` (nation
+    as predicted, market segment as truth) — the PAIR-level metric family
+    next to the record-averaged B³, computed from contingency-cell counts
+    only (C(n,2) sums), never materialized member pairs."""
+    from linkorgs_software_spark.operators.assess import pairwise_scores
+
+    cust = _read(spark, sf_dir, "customer")
+    pred = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("string").alias("pred_cluster"),
+    )
+    truth = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("true_cluster")
+    )
+    return pairwise_scores(pred, truth)
+
+
+def _q_resolution_diff(spark, sf_dir):
+    """Split/merge audit between two resolution runs of the customer
+    table: the old run clusters by nation (covering custkey % 7 != 0),
+    the new run merges all negative-balance customers into one 'NEG'
+    entity (covering custkey % 5 != 0) — so nations with negative-balance
+    members split, 'NEG' is a cross-nation merge, coverage churn shows in
+    n_only_old/n_only_new, and untouched nations count as unchanged.
+    The re-resolution regression report every production ER system runs
+    before swapping in a new model or threshold."""
+    from linkorgs_software_spark.operators.assess import resolution_diff
+
+    cust = _read(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("string").alias("cluster"),
+    )
+    new = cust.filter(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_acctbal") < 0, F.lit("NEG"))
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("cluster"),
+    )
+    return resolution_diff(old, new)
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1358,6 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_group_profile": _q_embedding_group_profile,
         "containment_pairs": _q_containment_pairs,
         "distribution_drift": _q_distribution_drift,
+        "canonical_entities": _q_canonical_entities,
+        "pairwise_clusters": _q_pairwise_clusters,
+        "resolution_diff": _q_resolution_diff,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1822,6 +1883,80 @@ select win, n_g::bigint as n_events, n_keys::bigint as n_keys,
   round(0.5 * jin + 0.5 * ln(2) * (1 - cov), 6) as jsd_vs_overall,
   round(0.5 * (adiff + (1 - cov)), 6) as tvd_vs_overall
 from agg
+""",
+        "canonical_entities": """
+with counts as (
+  select o_custkey as component, o_orderpriority as nm, count(*) as cnt
+  from orders where o_orderpriority is not null group by 1, 2),
+tot as (select component, sum(cnt) as n_members,
+          count(*) as n_distinct_names
+        from counts group by 1),
+win as (select component, nm, cnt,
+          row_number() over (partition by component
+            order by cnt desc, length(nm) asc, nm asc) as rk
+        from counts)
+select w.component, w.nm as canonical_name,
+  w.cnt::bigint as canonical_count,
+  t.n_members::bigint as n_members,
+  t.n_distinct_names::bigint as n_distinct_names,
+  round(w.cnt::double / t.n_members, 6) as canonical_share
+from win w join tot t using (component) where w.rk = 1
+""",
+        "pairwise_clusters": """
+with cells as (
+  select c_nationkey::varchar as p, c_mktsegment as t, count(*) as n_pt
+  from customer group by 1, 2),
+np as (select p, sum(n_pt) as n_p from cells group by 1),
+nt as (select t, sum(n_pt) as n_t from cells group by 1),
+agg as (select
+  (select sum(n_pt) from cells) as n,
+  (select sum(n_pt * (n_pt - 1) / 2.0) from cells) as nb,
+  (select sum(n_p * (n_p - 1) / 2.0) from np) as pp,
+  (select sum(n_t * (n_t - 1) / 2.0) from nt) as pt),
+x as (select n, nb, pp, pt,
+  case when n > 1 then pp * pt / (n * (n - 1) / 2.0) else 0.0 end as e,
+  case when pp > 0 then nb / pp else 0.0 end as prec,
+  case when pt > 0 then nb / pt else 0.0 end as rec
+  from agg)
+select n::bigint as n_records,
+  pp::bigint as n_pairs_pred, pt::bigint as n_pairs_true,
+  nb::bigint as n_pairs_both,
+  round(prec, 6) as pair_precision,
+  round(rec, 6) as pair_recall,
+  round(case when prec + rec > 0
+        then 2.0 * prec * rec / (prec + rec) else 0.0 end, 6) as pair_f1,
+  round(case when (pp + pt) / 2.0 - e != 0
+        then (nb - e) / ((pp + pt) / 2.0 - e) else 0.0 end, 6)
+    as adjusted_rand
+from x
+""",
+        "resolution_diff": """
+with a as (select c_custkey as id, c_nationkey::varchar as o
+           from customer where c_custkey % 7 <> 0),
+b as (select c_custkey as id,
+        case when c_acctbal < 0 then 'NEG' else c_nationkey::varchar end as n
+      from customer where c_custkey % 5 <> 0),
+cells as (select a.o, b.n, count(*) as n_cell
+          from a join b using (id) group by 1, 2),
+po as (select o, count(*) as fanout, max(n_cell) as max_cell
+       from cells group by 1),
+pn as (select n, sum(n_cell) as n_n, count(*) as fanin from cells group by 1),
+unchanged as (
+  select count(*) as n_unchanged
+  from cells c
+  join po on c.o = po.o and po.fanout = 1
+  join pn on c.n = pn.n and c.n_cell = pn.n_n)
+select
+  (select coalesce(sum(n_cell), 0) from cells)::bigint as n_records,
+  (select count(*) from a left join b on a.id = b.id
+     where b.id is null)::bigint as n_only_old,
+  (select count(*) from b left join a on a.id = b.id
+     where a.id is null)::bigint as n_only_new,
+  (select count(distinct o) from cells)::bigint as n_clusters_old,
+  (select count(distinct n) from cells)::bigint as n_clusters_new,
+  (select count(*) from po where fanout > 1)::bigint as n_split,
+  (select count(*) from pn where fanin > 1)::bigint as n_merged,
+  (select n_unchanged from unchanged)::bigint as n_unchanged
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

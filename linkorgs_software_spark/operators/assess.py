@@ -285,3 +285,180 @@ def b3_scores(
             F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(F.lit(0.0)), 6
         ).alias("b3_f1"),
     )
+
+
+def pairwise_scores(
+    pred: DataFrame,
+    truth: DataFrame,
+    *,
+    id_col: str = "id",
+    pred_col: str = "pred_cluster",
+    true_col: str = "true_cluster",
+) -> DataFrame:
+    """Pairwise clustering precision/recall/F1 plus the Adjusted Rand
+    Index between two cluster assignments of the same records — the
+    PAIR-level ER metric family, the classical complement to ``b3_scores``
+    (B³ averages per record; pairwise weights a cluster's contribution by
+    its C(n,2) pair count, so it is the score a downstream consumer of
+    *merged pairs* actually experiences; Hubert & Arabie 1985 for ARI).
+
+    One row ``(n_records, n_pairs_pred, n_pairs_true, n_pairs_both,
+    pair_precision, pair_recall, pair_f1, adjusted_rand)`` over the
+    records both assignments cover (inner join on ``id_col``).
+
+    Scale shape — identical to ``b3_scores`` and for the same reason:
+    NEVER materializes member pairs (``clusters_to_pairs`` squares per
+    cluster; a viral entity would explode). Everything reduces to the
+    (pred, true) contingency CELL counts: with n_pt the cell sizes,
+    n_p / n_t the marginals, every term is a sum of C(k, 2) = k(k-1)/2
+    over cells or marginals — three map-side-combined count aggregates
+    and one scalar row out. ARI comes from the same four sums:
+    (Σ_cells C(n_pt,2) − E) / (½(ΣC(n_p,2)+ΣC(n_t,2)) − E) with
+    E = ΣC(n_p,2)·ΣC(n_t,2)/C(n,2). round(·, 6) for oracle parity;
+    degenerate denominators (no pairs on a side, or both clusterings
+    all-singleton / all-one-cluster where ARI's denominator is 0) score
+    0.0 rather than NULL so the row is always complete.
+    """
+    a = pred.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).cast("string").alias("_p")
+    )
+    b = truth.select(
+        F.col(id_col).alias("_id"), F.col(true_col).cast("string").alias("_t")
+    )
+    cells = a.join(b, "_id").groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("n_pt"))
+    np_ = cells.groupBy("_p").agg(F.sum("n_pt").alias("n_p"))
+    nt_ = cells.groupBy("_t").agg(F.sum("n_pt").alias("n_t"))
+
+    def _c2(col):  # C(k, 2) as double to keep the big sums overflow-safe
+        return F.sum(col.cast("double") * (col.cast("double") - 1) / 2)
+
+    agg = (
+        cells.agg(F.sum("n_pt").alias("n"), _c2(F.col("n_pt")).alias("both"))
+        .crossJoin(np_.agg(_c2(F.col("n_p")).alias("pp")))
+        .crossJoin(nt_.agg(_c2(F.col("n_t")).alias("pt")))
+    )
+    prec = F.when(F.col("pp") > 0, F.col("both") / F.col("pp")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("pt") > 0, F.col("both") / F.col("pt")).otherwise(F.lit(0.0))
+    total = F.col("n").cast("double") * (F.col("n").cast("double") - 1) / 2
+    e = F.when(total > 0, F.col("pp") * F.col("pt") / total).otherwise(F.lit(0.0))
+    denom = (F.col("pp") + F.col("pt")) / 2 - e
+    ari = F.when(denom != 0, (F.col("both") - e) / denom).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_records"),
+        F.col("pp").cast("long").alias("n_pairs_pred"),
+        F.col("pt").cast("long").alias("n_pairs_true"),
+        F.col("both").cast("long").alias("n_pairs_both"),
+        F.round(prec, 6).alias("pair_precision"),
+        F.round(rec, 6).alias("pair_recall"),
+        F.round(
+            F.when(prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("pair_f1"),
+        F.round(ari, 6).alias("adjusted_rand"),
+    )
+
+
+def resolution_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "id",
+    old_col: str = "cluster",
+    new_col: str = "cluster",
+) -> DataFrame:
+    """Split/merge audit between two entity-resolution runs over the same
+    records — the regression report for a re-resolution (new model, new
+    threshold, new blocking cap): did entities fragment, fuse, or hold?
+
+    One row: ``n_records`` (covered by both runs), ``n_only_old`` /
+    ``n_only_new`` (coverage churn), ``n_clusters_old`` /
+    ``n_clusters_new`` (over the common records), ``n_split`` (old
+    clusters whose members land in ≥2 new clusters), ``n_merged`` (new
+    clusters drawing from ≥2 old clusters), and ``n_unchanged`` (old
+    clusters whose member set is EXACTLY one new cluster — the old
+    cluster maps to a single cell that is simultaneously its whole old
+    marginal and that new cluster's whole new marginal).
+
+    A cluster can count in both ``n_split`` and (via its fragments' new
+    homes) feed ``n_merged`` — splits and merges are independent axes,
+    which is exactly what a threshold change does (break weak edges,
+    forge new ones). Scale shape: the same (old, new) contingency-cell
+    counts as ``pairwise_scores`` / ``b3_scores`` — per-cell and marginal
+    aggregates only, no member-pair joins; coverage churn comes from the
+    same single full-outer join that feeds the cells, and the whole
+    report is ONE declarative plan (every branch is a one-row aggregate,
+    stitched back with broadcast-trivial crossJoins), so the driver runs
+    one action, not a count per statistic. The cell frame is persisted
+    (``register_cache``) because five branches read it.
+    """
+    a = old.select(
+        F.col(id_col).alias("_id"), F.col(old_col).cast("string").alias("_o")
+    )
+    b = new.select(
+        F.col(id_col).alias("_id"), F.col(new_col).cast("string").alias("_n")
+    )
+    joined = a.join(b, "_id", "full_outer")
+    cov = joined.agg(
+        F.sum(
+            (F.col("_o").isNotNull() & F.col("_n").isNull()).cast("long")
+        ).alias("n_only_old"),
+        F.sum(
+            (F.col("_n").isNotNull() & F.col("_o").isNull()).cast("long")
+        ).alias("n_only_new"),
+    )
+    cells = register_cache(
+        joined.filter(F.col("_o").isNotNull() & F.col("_n").isNotNull())
+        .groupBy("_o", "_n")
+        .agg(F.count(F.lit(1)).alias("n_cell"))
+        .persist()
+    )
+    per_old = cells.groupBy("_o").agg(
+        F.sum("n_cell").alias("n_o"),
+        F.count(F.lit(1)).alias("fanout"),
+        F.max("n_cell").alias("max_cell"),
+        F.max_by("_n", F.struct(F.col("n_cell"), F.col("_n"))).alias("_n_top"),
+    )
+    per_new = cells.groupBy("_n").agg(
+        F.sum("n_cell").alias("n_n"), F.count(F.lit(1)).alias("fanin")
+    )
+    # an old cluster is unchanged iff it has exactly one cell and that cell
+    # is also the entirety of its new cluster (n_cell == n_o == n_n)
+    unchanged = (
+        per_old.filter(F.col("fanout") == 1)
+        .join(per_new, per_old["_n_top"] == per_new["_n"])
+        .filter(F.col("max_cell") == F.col("n_n"))
+        .agg(F.count(F.lit(1)).alias("n_unchanged"))
+    )
+    stats = cells.agg(
+        F.coalesce(F.sum("n_cell"), F.lit(0)).cast("long").alias("n_records"),
+        F.countDistinct("_o").alias("n_clusters_old"),
+        F.countDistinct("_n").alias("n_clusters_new"),
+    )
+    splits = per_old.agg(
+        F.coalesce(F.sum((F.col("fanout") > 1).cast("long")), F.lit(0)).alias(
+            "n_split"
+        )
+    )
+    merges = per_new.agg(
+        F.coalesce(F.sum((F.col("fanin") > 1).cast("long")), F.lit(0)).alias(
+            "n_merged"
+        )
+    )
+    return (
+        stats.crossJoin(cov)
+        .crossJoin(splits)
+        .crossJoin(merges)
+        .crossJoin(unchanged)
+        .select(
+            "n_records",
+            F.coalesce(F.col("n_only_old"), F.lit(0)).cast("long").alias("n_only_old"),
+            F.coalesce(F.col("n_only_new"), F.lit(0)).cast("long").alias("n_only_new"),
+            F.col("n_clusters_old").cast("long").alias("n_clusters_old"),
+            F.col("n_clusters_new").cast("long").alias("n_clusters_new"),
+            F.col("n_split").cast("long").alias("n_split"),
+            F.col("n_merged").cast("long").alias("n_merged"),
+            F.col("n_unchanged").cast("long").alias("n_unchanged"),
+        )
+    )

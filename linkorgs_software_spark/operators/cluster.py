@@ -120,3 +120,65 @@ def clusters_to_pairs(
         a = a.join(keep, "c", "left_semi")
     b = a.select(F.col("c"), F.col("id_a").alias("id_b"))
     return a.join(b, "c").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "c")
+
+
+def canonicalize_clusters(
+    records: DataFrame,
+    *,
+    cluster_col: str = "component",
+    name_col: str = "name",
+) -> DataFrame:
+    """Survivorship: elect one canonical (golden-record) name per entity
+    cluster — the step after ``connected_components`` that turns a
+    resolved partition into a publishable entity table, mirroring what
+    the reference's alias directory ships precomputed (one canonical
+    string per ``canonical_id``, ``LinkOrgs/R/LinkOrgs_LinkOrgs.R:
+    460-477``): this operator is how such a directory gets BUILT.
+
+    Election rule (deterministic): most frequent name value in the
+    cluster; ties break to the SHORTEST name, then lexicographically —
+    frequency is the survivorship signal ("the form most records agree
+    on"), shortness prefers the base form over decorated variants
+    ("acme" over "acme corp ltd") among equally-common ones.
+
+    One row per cluster: ``(component, canonical_name, canonical_count,
+    n_members, n_distinct_names, canonical_share)``. NULL names do not
+    vote and are not counted (a record with no surviving name field
+    cannot contribute a form).
+
+    Scale shape: one count aggregate per (cluster, name) — map-side
+    combined, so a 10M-member entity with 3 spellings reduces to 3 rows
+    before the shuffle — then a per-cluster window over the DISTINCT-NAME
+    frame (bounded by name variety, not membership) picks the winner.
+    No self-joins, no member materialization; skew-safe for viral
+    entities by construction.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        records.filter(F.col(name_col).isNotNull())
+        .groupBy(F.col(cluster_col).alias("component"), F.col(name_col).alias("_nm"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_cnt").desc(), F.length("_nm").asc(), F.col("_nm").asc()
+    )
+    totals = counts.groupBy("component").agg(
+        F.sum("_cnt").alias("n_members"),
+        F.count(F.lit(1)).alias("n_distinct_names"),
+    )
+    winners = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("component", F.col("_nm").alias("canonical_name"), F.col("_cnt").alias("canonical_count"))
+    )
+    return winners.join(totals, "component").select(
+        "component",
+        "canonical_name",
+        F.col("canonical_count").cast("long").alias("canonical_count"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_distinct_names").cast("long").alias("n_distinct_names"),
+        F.round(F.col("canonical_count") / F.col("n_members"), 6).alias(
+            "canonical_share"
+        ),
+    )

@@ -259,3 +259,102 @@ def test_b3_bad_unmatched_raises(spark):
     with _pytest.raises(ValueError, match="unmatched"):
         b3_scores(df, df.selectExpr("id", "pred_cluster as true_cluster"),
                   unmatched="bogus")
+
+
+def test_canonicalize_clusters_election_and_ties(spark):
+    from linkorgs_software_spark.operators.cluster import canonicalize_clusters
+
+    rows = [
+        # cluster 1: frequency wins — "acme" x2 beats "acme corp" x1
+        (1, "acme"), (1, "acme"), (1, "acme corp"),
+        # cluster 2: count tie, equal length -> lexicographic "aa"
+        (2, "bb"), (2, "aa"),
+        # cluster 3: count tie -> shorter "ab" beats "longer"
+        (3, "longer"), (3, "ab"),
+        # cluster 4: NULL names do not vote and are not counted
+        (4, "solo"), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "component long, name string")
+    out = {r.component: r for r in canonicalize_clusters(df).collect()}
+    assert out[1].canonical_name == "acme"
+    assert out[1].canonical_count == 2
+    assert out[1].n_members == 3
+    assert out[1].n_distinct_names == 2
+    assert abs(out[1].canonical_share - 0.666667) < 1e-6
+    assert out[2].canonical_name == "aa"
+    assert out[3].canonical_name == "ab"
+    assert out[4].canonical_name == "solo"
+    assert out[4].n_members == 1
+
+
+def test_pairwise_scores_hand_checked(spark):
+    """pred {a:{1,2}, b:{3}} vs truth {x:{1,2,3}}: pairs_pred=1 (both
+    correct), pairs_true=3 -> P=1, R=1/3, F1=0.5; ARI: E = 1*3/C(3,2)=1,
+    denom = (1+3)/2 - 1 = 1, ARI = (1-1)/1 = 0."""
+    from linkorgs_software_spark.operators.assess import pairwise_scores
+
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, pred_cluster string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "id long, true_cluster string"
+    )
+    r = pairwise_scores(pred, truth).collect()[0]
+    assert r.n_records == 3
+    assert r.n_pairs_pred == 1
+    assert r.n_pairs_true == 3
+    assert r.n_pairs_both == 1
+    assert r.pair_precision == 1.0
+    assert abs(r.pair_recall - 0.333333) < 1e-6
+    assert r.pair_f1 == 0.5
+    assert r.adjusted_rand == 0.0
+
+
+def test_pairwise_scores_identical_and_degenerate(spark):
+    from linkorgs_software_spark.operators.assess import pairwise_scores
+
+    same = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, pred_cluster string"
+    )
+    truth = same.withColumnRenamed("pred_cluster", "true_cluster")
+    r = pairwise_scores(same, truth).collect()[0]
+    assert (r.pair_precision, r.pair_recall, r.pair_f1) == (1.0, 1.0, 1.0)
+    assert r.adjusted_rand == 1.0
+
+    # all-singleton on both sides: no pairs anywhere, ARI denominator 0 —
+    # every ratio scores the documented 0.0, never NULL
+    singles = spark.createDataFrame(
+        [(1, "s1"), (2, "s2")], "id long, pred_cluster string"
+    )
+    t2 = singles.withColumnRenamed("pred_cluster", "true_cluster")
+    r2 = pairwise_scores(singles, t2).collect()[0]
+    assert r2.n_pairs_pred == 0 and r2.n_pairs_true == 0
+    assert (r2.pair_precision, r2.pair_recall, r2.pair_f1, r2.adjusted_rand) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
+
+
+def test_resolution_diff_hand_checked(spark):
+    """old A{1,2,3} splits into X{1,2}/Y{3}; B{4,5}+C{6} merge into
+    Z{4,5,6}; D{7} survives untouched; 8 dropped by the new run, 9 new."""
+    from linkorgs_software_spark.operators.assess import resolution_diff
+
+    old = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C"),
+         (7, "D"), (8, "E")],
+        "id long, cluster string",
+    )
+    new = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Z"), (5, "Z"), (6, "Z"),
+         (7, "W"), (9, "V")],
+        "id long, cluster string",
+    )
+    r = resolution_diff(old, new).collect()[0]
+    assert r.n_records == 7
+    assert r.n_only_old == 1
+    assert r.n_only_new == 1
+    assert r.n_clusters_old == 4
+    assert r.n_clusters_new == 4
+    assert r.n_split == 1      # A
+    assert r.n_merged == 1     # Z
+    assert r.n_unchanged == 1  # D -> W
