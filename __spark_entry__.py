@@ -1049,6 +1049,33 @@ def _q_resolution_diff(spark, sf_dir):
     return resolution_diff(old, new)
 
 
+def _q_entity_directory(spark, sf_dir):
+    """The full resolve-then-publish ER composition, end to end: match
+    edges (supplier ↔ offset nation node, the star graph whose components
+    are SQL-checkable) → ``connected_components`` (pointer-jumping
+    min-label) → join member names back → ``canonicalize_clusters``
+    survivorship election. One row per resolved entity with its canonical
+    name and agreement stats — the artifact the reference ships
+    precomputed as its alias directory, built here from raw edges by the
+    engine itself and value-hash-oracled as one unit."""
+    from linkorgs_software_spark.operators.cluster import canonicalize_clusters
+
+    sup = _read(spark, sf_dir, "supplier")
+    edges = sup.select(
+        F.col("s_suppkey").cast("long").alias("src"),
+        (F.col("s_nationkey").cast("long") + F.lit(1_000_000_000_000)).alias("dst"),
+    )
+    assign = connected_components(edges)
+    recs = assign.join(
+        sup.select(
+            F.col("s_suppkey").cast("long").alias("id"),
+            F.col("s_name").alias("name"),
+        ),
+        "id",
+    )
+    return canonicalize_clusters(recs, cluster_col="component", name_col="name")
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1419,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_entities": _q_canonical_entities,
         "pairwise_clusters": _q_pairwise_clusters,
         "resolution_diff": _q_resolution_diff,
+        "entity_directory": _q_entity_directory,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -1957,6 +1985,27 @@ select
   (select count(*) from po where fanout > 1)::bigint as n_split,
   (select count(*) from pn where fanin > 1)::bigint as n_merged,
   (select n_unchanged from unchanged)::bigint as n_unchanged
+""",
+        "entity_directory": """
+with comp as (select s_nationkey, min(s_suppkey) as m
+              from supplier group by 1),
+recs as (select c.m as component, s.s_name as nm
+         from supplier s join comp c using (s_nationkey)
+         where s.s_name is not null),
+counts as (select component, nm, count(*) as cnt from recs group by 1, 2),
+tot as (select component, sum(cnt) as n_members,
+          count(*) as n_distinct_names
+        from counts group by 1),
+win as (select component, nm, cnt,
+          row_number() over (partition by component
+            order by cnt desc, length(nm) asc, nm asc) as rk
+        from counts)
+select w.component::bigint as component, w.nm as canonical_name,
+  w.cnt::bigint as canonical_count,
+  t.n_members::bigint as n_members,
+  t.n_distinct_names::bigint as n_distinct_names,
+  round(w.cnt::double / t.n_members, 6) as canonical_share
+from win w join tot t using (component) where w.rk = 1
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

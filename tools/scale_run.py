@@ -257,6 +257,61 @@ def q_mixture(spark, tag):
     )
 
 
+def q_canonicalize(spark, tag):
+    """Survivorship at scale: group the org names by their base token and
+    elect each group's canonical full form — the (cluster, name) count
+    reduction plus a window over DISTINCT names only, so 10x members with
+    the same variety should cost ~10x the count aggregate and nothing
+    quadratic."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.cluster import canonicalize_clusters
+
+    names = spark.read.parquet(f"{SCALE}/names_{tag}.parquet")
+    recs = names.select(
+        F.split(F.col("name"), " ").getItem(0).alias("component"), "name"
+    )
+    return canonicalize_clusters(recs).count()
+
+
+def _doc_assignments(spark, tag):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SCALE}/documents_{tag}.parquet")
+    old = docs.select(
+        F.col("doc_id").alias("id"), F.md5(F.col("text")).alias("cluster")
+    )
+    new = docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), "\\s+"), 1, 8))
+        ).alias("cluster"),
+    )
+    return old, new
+
+
+def q_pairwise(spark, tag):
+    """Pair-level metrics between the exact-hash and first-8-token-prefix
+    clusterings of the corpus: pure contingency-cell aggregates, so the
+    10x ratio should sit at the shuffle's linear cost."""
+    from linkorgs_software_spark.operators.assess import pairwise_scores
+
+    old, new = _doc_assignments(spark, tag)
+    r = pairwise_scores(
+        old.withColumnRenamed("cluster", "pred_cluster"),
+        new.withColumnRenamed("cluster", "true_cluster"),
+    ).collect()[0]
+    return int(r.n_pairs_both)
+
+
+def q_resolution_diff(spark, tag):
+    from linkorgs_software_spark.operators.assess import resolution_diff
+
+    old, new = _doc_assignments(spark, tag)
+    r = resolution_diff(old, new).collect()[0]
+    return int(r.n_merged)
+
+
 QUERIES = {
     "minhash_lsh_dedup": q_minhash,
     "embedding_lsh_dedup": q_embedding_lsh,
@@ -275,6 +330,9 @@ QUERIES = {
     "incremental_neardup_compact": q_incremental_neardup_compact,
     "incremental_embed_neardup": q_incremental_embed,
     "link_many_3way": q_link_many,
+    "canonicalize_clusters": q_canonicalize,
+    "pairwise_scores": q_pairwise,
+    "resolution_diff": q_resolution_diff,
 }
 
 
