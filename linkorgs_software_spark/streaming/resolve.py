@@ -1,0 +1,314 @@
+"""Incremental entity resolution against an EVOLVING alias directory.
+
+``incremental.incremental_link`` links each micro-batch against a STATIC
+y-side; this module closes the remaining streaming-ER gap: a feed of
+organization mentions resolved against a directory that the stream itself
+builds — every batch either assigns a mention to an entity already in the
+directory (match) or mints a new entity (create), and the directory grows
+by the batch's novel aliases. The batch analogue is the reference's alias
+bridge (its directory ships precomputed, ``LinkOrgs/R/LinkOrgs_LinkOrgs.R:
+460-477``); here the directory is BUILT online, which is how a production
+mention stream actually bootstraps one.
+
+State on disk, same layout discipline as the dedup streams
+(``neardup.py`` / ``embed_neardup.py``):
+
+  * ``history/grams``    — (gram, alias_id): trigram posting lists of every
+    directory alias, a catalog table partitioned by ``batch_id`` and
+    hash-bucketed on ``gram`` — the candidate join's history side scans
+    WITHOUT an Exchange; only the micro-batch side shuffles (into
+    ``num_history_buckets`` partitions).
+  * ``history/entities`` — (alias_id, entity_id, name_norm): the alias
+    directory itself. Plain ``batch_id=N`` parquet — only ever read
+    id-joined at candidate volume (verification), never scanned.
+  * ``assignments/batch_id=N`` — the batch's resolved rows (idempotent
+    overwrite: a replayed batch overwrites its own output).
+
+Per micro-batch N:
+  1. normalize mention names (``prepare_side`` — reference normalization);
+     work at DISTINCT-name granularity (node id = ``xxhash64(name_norm)``,
+     the same content-keyed id rule as ``record_id_expr``).
+  2. MATCH: batch trigrams equi-join the PRIOR gram history
+     (``batch_id != N`` — replay must not see its own failed attempt),
+     df-capped on BOTH sides; the reference's >= ceil(min_shared_frac ·
+     |trigrams(name)|) rule gates candidates; candidates verify by
+     ``cfg.distance_measure`` against the alias strings (id-join into the
+     entities slice); best match per name = min (distance, entity_id).
+  3. CREATE: names with no acceptable match pair among THEMSELVES
+     (``candidate_pairs`` + ``score_pairs`` self-join) and resolve
+     transitively via ``connected_components`` — a batch introducing
+     "acme corp" and "acme corp." mints ONE entity. The entity id is the
+     component minimum of the member name hashes: content-derived, so a
+     replayed batch mints byte-identical ids.
+  4. append the directory delta: every new entity's aliases, plus each
+     MATCHED name whose exact normalized form was new to the directory
+     (distance > 0 — an exact-form alias would have matched at 0). Both
+     slices written to ``batch_id=N`` (idempotent overwrite), grams
+     bucketed via ``write_history_bucketed``.
+
+Append-only semantics, stated honestly: the directory never MERGES two
+existing entities — a mention similar to aliases of two entities joins the
+closest one and the entities stay distinct (periodic offline
+``link_many``/``connected_components`` over the accumulated directory is
+the compaction path for that). And within a batch, a name that matched the
+directory does not also bridge into the batch's new-entity graph — match
+beats create.
+
+At stream lifetime scale the gram history is compacted with the shared
+tiered scheme (``history.maybe_compact``): metadata and file count stay
+O(compact_every), snapshot rewrites amortize to O(history/K²).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import register_cache, scoped_caches
+from ..config import DEFAULT, LinkConfig
+from ..functions.normalize import NORM_COL, prepare_side
+from ..functions.scorers import distance_expr
+from ..operators.blocking import apply_df_cap, candidate_pairs, gram_index
+from ..operators.cluster import connected_components
+from ..operators.scoring import score_pairs
+from .dedup import _prior_history_paths
+from .history import (
+    history_table_name,
+    maybe_compact,
+    read_prior_history,
+    write_history_bucketed,
+)
+
+
+def resolve_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    name_col: str = "name",
+    cfg: LinkConfig = DEFAULT,
+    max_dist: float = 0.5,
+    num_history_buckets: int = 64,
+    compact_every: int | None = None,
+) -> None:
+    """Process one micro-batch (public, so replay behaviour is testable)."""
+    with scoped_caches():
+        _resolve_batch_inner(
+            batch_df,
+            batch_id,
+            out_dir,
+            name_col=name_col,
+            cfg=cfg,
+            max_dist=max_dist,
+            num_history_buckets=num_history_buckets,
+            compact_every=compact_every,
+        )
+
+
+def _resolve_batch_inner(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    *,
+    name_col: str,
+    cfg: LinkConfig,
+    max_dist: float,
+    num_history_buckets: int,
+    compact_every: int | None,
+) -> None:
+    grams_dir = os.path.join(out_dir, "history", "grams")
+    entities_dir = os.path.join(out_dir, "history", "entities")
+    assign_dir = os.path.join(out_dir, "assignments")
+    spark = batch_df.sparkSession
+    grams_tbl = history_table_name(out_dir, "grams")
+    if compact_every is not None:
+        maybe_compact(
+            spark,
+            watermark=batch_id,
+            every=compact_every,
+            bucketed=(grams_tbl, grams_dir),
+            plain_paths=(entities_dir,),
+        )
+
+    prep = register_cache(
+        prepare_side(batch_df, name_col, "_rid", cfg).persist()
+    )
+    # distinct-name granularity: every downstream join is per normalized
+    # name; the final assignment fan-out back to rows is one equi-join.
+    # The node id IS prepare_side's content-hash id (xxhash64(name_norm)),
+    # so the fan-out join key already sits on every prepared row.
+    names = register_cache(
+        prep.select(NORM_COL, F.col("_rid").alias("_nid")).distinct().persist()
+    )
+    tri = register_cache(gram_index(names, "_nid", cfg).persist())
+    ntri = tri.groupBy("_nid").agg(F.count(F.lit(1)).alias("_n_grams"))
+
+    # ---- 2. MATCH against the prior directory -------------------------
+    prior_grams = read_prior_history(spark, grams_tbl, grams_dir, batch_id)
+    prior_ent_paths = _prior_history_paths(spark, entities_dir, batch_id)
+    matched = None
+    if prior_grams is not None and prior_ent_paths:
+        btri = tri
+        old = prior_grams.select("gram", "alias_id")
+        if cfg.max_block_df is not None:
+            btri = apply_df_cap(btri, "gram", cfg.max_block_df)
+            old = apply_df_cap(old, "gram", cfg.max_block_df)
+        shared = (
+            btri.join(old, "gram")
+            .groupBy("_nid", "alias_id")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        cand = shared.join(ntri, "_nid").filter(
+            F.col("_shared")
+            >= F.ceil(F.lit(float(cfg.min_shared_frac)) * F.col("_n_grams"))
+        )
+        aliases = spark.read.parquet(*prior_ent_paths).select(
+            "alias_id", "entity_id", F.col(NORM_COL).alias("_alias_norm")
+        )
+        verified = (
+            cand.join(aliases, "alias_id")
+            .join(names, "_nid")
+            .withColumn(
+                "_dist",
+                distance_expr(
+                    cfg.distance_measure, NORM_COL, "_alias_norm", qgram=cfg.qgram
+                ),
+            )
+            .filter(F.col("_dist") <= F.lit(float(max_dist)))
+        )
+        matched = register_cache(
+            verified.groupBy("_nid")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("entity_id"), F.col("_dist").alias("stringdist")
+                    ),
+                    F.struct(F.col("_dist"), F.col("entity_id")),
+                ).alias("_best")
+            )
+            .select("_nid", "_best.entity_id", "_best.stringdist")
+            .persist()
+        )
+
+    # ---- 3. CREATE entities for the unmatched names -------------------
+    unmatched = names
+    if matched is not None:
+        unmatched = names.join(matched, "_nid", "left_anti")
+    ux = unmatched.select(F.col("_nid").alias("x_id"), NORM_COL)
+    uy = unmatched.select(F.col("_nid").alias("y_id"), NORM_COL)
+    pairs = candidate_pairs(ux, uy, cfg).filter(F.col("x_id") < F.col("y_id"))
+    # score with max_dist=None, persist via the registry, filter AFTER the
+    # barrier: same pushdown-into-join guard as score_pairs' own internal
+    # persist, but registry-tracked so scoped_caches releases it per batch
+    # (score_pairs' internal persist is not, and would pin one frame per
+    # micro-batch for the stream's lifetime)
+    scored = register_cache(
+        score_pairs(pairs, ux, uy, cfg, max_dist=None).persist()
+    )
+    edges = register_cache(
+        scored.filter(F.col("stringdist") <= F.lit(float(max_dist)))
+        .select(F.col("x_id").alias("src"), F.col("y_id").alias("dst"))
+        .persist()
+    )
+    if edges.limit(1).count() == 0:
+        # no similar pairs among the new names: all singletons — skip the
+        # iterative CC (whose per-round jobs would re-drive nothing)
+        created = register_cache(
+            unmatched.select(
+                "_nid", NORM_COL, F.col("_nid").alias("entity_id")
+            ).persist()
+        )
+    else:
+        comp = connected_components(edges)
+        created = register_cache(
+            unmatched.join(comp.withColumnRenamed("id", "_nid"), "_nid", "left")
+            .select(
+                "_nid",
+                NORM_COL,
+                F.coalesce(F.col("component"), F.col("_nid")).alias("entity_id"),
+            )
+            .persist()
+        )
+
+    # ---- assignment output (idempotent overwrite) ---------------------
+    assign_created = created.select(
+        "_nid",
+        "entity_id",
+        F.lit(None).cast("double").alias("stringdist"),
+        F.lit(False).alias("matched_prior"),
+    )
+    if matched is not None:
+        assign = matched.withColumn("matched_prior", F.lit(True)).unionByName(
+            assign_created
+        )
+    else:
+        assign = assign_created
+    out_rows = prep.join(assign.withColumnRenamed("_nid", "_rid"), "_rid")
+    out_rows.write.mode("overwrite").parquet(f"{assign_dir}/batch_id={batch_id}")
+
+    # ---- 4. directory delta: new entities' aliases + novel alias forms
+    new_aliases = created.select("_nid", NORM_COL, "entity_id")
+    if matched is not None:
+        novel_matched = (
+            matched.filter(F.col("stringdist") > 0)
+            .join(names, "_nid")
+            .select("_nid", NORM_COL, "entity_id")
+        )
+        new_aliases = new_aliases.unionByName(novel_matched)
+    new_aliases = register_cache(
+        new_aliases.withColumnRenamed("_nid", "alias_id").persist()
+    )
+    write_history_bucketed(
+        tri.join(
+            new_aliases.select(F.col("alias_id").alias("_nid")), "_nid", "left_semi"
+        ).select("gram", F.col("_nid").alias("alias_id")),
+        grams_tbl,
+        grams_dir,
+        batch_id,
+        bucket_cols=("gram",),
+        num_buckets=num_history_buckets,
+    )
+    new_aliases.select("alias_id", "entity_id", NORM_COL).write.mode(
+        "overwrite"
+    ).parquet(f"{entities_dir}/batch_id={batch_id}")
+
+
+def incremental_resolve(
+    mentions_stream: DataFrame,
+    out_dir: str,
+    checkpoint_path: str,
+    *,
+    name_col: str = "name",
+    cfg: LinkConfig = DEFAULT,
+    max_dist: float = 0.5,
+    num_history_buckets: int = 64,
+    compact_every: int | None = None,
+    available_now: bool = False,
+):
+    """Start a streaming query resolving each micro-batch of mentions
+    against the evolving directory. Resolved rows land in
+    ``out_dir/assignments/batch_id=N``; directory state under
+    ``out_dir/history``."""
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        resolve_batch(
+            batch_df,
+            batch_id,
+            out_dir,
+            name_col=name_col,
+            cfg=cfg,
+            max_dist=max_dist,
+            num_history_buckets=num_history_buckets,
+            compact_every=compact_every,
+        )
+
+    writer = (
+        mentions_stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -911,3 +911,107 @@ def test_tier2_only_trigger_merges_stranded_snapshots(spark, tmp_path):
     assert 7 in ids  # the lone real batch (< every) was left alone
     # all six snapshot rows survived the merge
     assert spark.read.parquet(f"{d}/batch_id=-4").count() == 6
+
+
+def test_incremental_resolve_match_create_replay(spark, tmp_path):
+    """The evolving-directory resolver: batch 0 mints entities (with
+    within-batch transitive merge), batch 1 matches known aliases and
+    mints only the genuinely new name, and a replayed batch reproduces
+    byte-identical assignments without duplicating directory rows."""
+    from linkorgs_software_spark.streaming import resolve_batch
+
+    out = str(tmp_path / "resolve_out")
+    b0 = spark.createDataFrame(
+        [("Acme Corp",), ("Acme Corp x",), ("Globex Inc",)], "name string"
+    )
+    resolve_batch(b0, 0, out)
+    a0 = {r.name: r for r in spark.read.parquet(f"{out}/assignments/batch_id=0").collect()}
+    # within-batch transitive merge: the two acme variants share one entity
+    assert a0["Acme Corp"].entity_id == a0["Acme Corp x"].entity_id
+    assert a0["Globex Inc"].entity_id != a0["Acme Corp"].entity_id
+    assert not a0["Acme Corp"].matched_prior
+
+    b1 = spark.createDataFrame(
+        [("ACME corp.",), ("Globex, Inc",), ("Initech LLC",)], "name string"
+    )
+    resolve_batch(b1, 1, out)
+    a1 = {r.name: r for r in spark.read.parquet(f"{out}/assignments/batch_id=1").collect()}
+    assert a1["ACME corp."].matched_prior and a1["ACME corp."].stringdist == 0.0
+    assert a1["ACME corp."].entity_id == a0["Acme Corp"].entity_id
+    assert a1["Globex, Inc"].entity_id == a0["Globex Inc"].entity_id
+    assert not a1["Initech LLC"].matched_prior
+
+    # replay batch 1: identical assignments, no duplicate directory rows
+    resolve_batch(b1, 1, out)
+    a1r = {r.name: r for r in spark.read.parquet(f"{out}/assignments/batch_id=1").collect()}
+    assert {(k, v.entity_id, v.matched_prior) for k, v in a1.items()} == {
+        (k, v.entity_id, v.matched_prior) for k, v in a1r.items()
+    }
+    ents = spark.read.parquet(f"{out}/history/entities").collect()
+    aliases = sorted((r.name_norm, r.entity_id) for r in ents)
+    assert len(aliases) == len(set(aliases)) == 4  # dist-0 matches add nothing
+
+
+def test_incremental_resolve_fuzzy_alias_enriches_directory(spark, tmp_path):
+    """A fuzzy match (distance > 0) appends the new surface form as an
+    alias of the matched entity, so the NEXT batch matches it exactly."""
+    from linkorgs_software_spark.streaming import resolve_batch
+
+    out = str(tmp_path / "resolve_fuzzy")
+    resolve_batch(
+        spark.createDataFrame([("Acme Corporation Ltd",)], "name string"), 0, out
+    )
+    e0 = spark.read.parquet(f"{out}/assignments/batch_id=0").collect()[0].entity_id
+
+    resolve_batch(
+        spark.createDataFrame([("Acme Corporation Ltd x",)], "name string"), 1, out
+    )
+    r1 = spark.read.parquet(f"{out}/assignments/batch_id=1").collect()[0]
+    assert r1.matched_prior and r1.stringdist > 0
+    assert r1.entity_id == e0
+    ents = {r.name_norm: r.entity_id for r in spark.read.parquet(f"{out}/history/entities").collect()}
+    assert ents["acme corporation ltd x"] == e0  # alias appended
+
+    resolve_batch(
+        spark.createDataFrame([("ACME Corporation Ltd X",)], "name string"), 2, out
+    )
+    r2 = spark.read.parquet(f"{out}/assignments/batch_id=2").collect()[0]
+    assert r2.matched_prior and r2.stringdist == 0.0 and r2.entity_id == e0
+
+
+def test_incremental_resolve_stream_end_to_end(spark, tmp_path):
+    from linkorgs_software_spark.streaming import incremental_resolve
+
+    src = str(tmp_path / "resolve_src")
+    out = str(tmp_path / "resolve_sink")
+    ckpt = str(tmp_path / "resolve_ckpt")
+    spark.createDataFrame(
+        [("Acme Corp",), ("Globex Inc",), ("acme corp",)], "name string"
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("name string").parquet(src)
+    q = incremental_resolve(stream, out, ckpt, available_now=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(f"{out}/assignments").collect()
+    assert len(rows) == 3
+    by_norm = {}
+    for r in rows:
+        by_norm.setdefault(r.name_norm, set()).add(r.entity_id)
+    assert all(len(v) == 1 for v in by_norm.values())
+    assert len({next(iter(v)) for v in by_norm.values()}) == 2
+
+
+def test_resolve_batch_releases_operator_caches(spark, tmp_path):
+    import linkorgs_software_spark.cache as cache
+    from linkorgs_software_spark.streaming import resolve_batch
+
+    out = str(tmp_path / "resolve_cc")
+    b0 = spark.createDataFrame([("Acme Corp",), ("Globex Inc",)], "name string")
+    registry_before = len(cache._OPERATOR_CACHES)
+    storage_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    resolve_batch(b0, 0, out)
+    resolve_batch(spark.createDataFrame([("Initech LLC",)], "name string"), 1, out)
+    assert len(cache._OPERATOR_CACHES) == registry_before
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == storage_before
