@@ -165,6 +165,52 @@ def bench_fixture_linkage(spark, sf_dir: str):
     return z.count()
 
 
+def bench_incremental_resolve(spark, sf_dir: str):
+    """Evolving-directory streaming ER fixed workload: batch 0 ingests the
+    canonical org mentions (create path — within-batch blocking + CC +
+    directory bootstrap), batches 1-3 the variant mentions in thirds
+    (match path — gram join against the bucketed history, alias verify,
+    plus fuzzy-alias directory appends). Returns the resolved entity
+    count; an F1-style recall check lives in the pytest suite. Sized at
+    half the batch-linkage fixture: per-micro-batch cost here is mostly
+    the fixed job count (match join, create self-join, CC rounds, two
+    history writes), so the entry's time reflects the 4-batch protocol
+    rather than rows — n=1500 keeps it comparable to the other streaming
+    entries while still exercising every path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.sources.fixtures import gen_linkage_fixture
+    from linkorgs_software_spark.streaming import resolve_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    n = 1500 if "0.1" in sf_dir.rstrip("/").rsplit("sf", 1)[-1] else 500
+    fx = gen_linkage_fixture(spark, n_entities=n, seed=42)
+    out = tempfile.mkdtemp(prefix="linkorgs_bench_resolve_")
+    try:
+        resolve_batch(
+            fx["org_x"].select("name"), 0, out, max_dist=0.6, create_max_dist=0.3
+        )
+        y = fx["org_y"].select("name", F.pmod(F.col("id"), F.lit(3)).alias("_b"))
+        for b in range(3):
+            resolve_batch(
+                y.filter(F.col("_b") == b).select("name"), b + 1, out,
+                max_dist=0.6, create_max_dist=0.3,
+            )
+        return (
+            spark.read.parquet(f"{out}/assignments")
+            .select("entity_id").distinct().count()
+        )
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'grams')}")
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def bench_minhash(spark, sf_dir: str):
     from linkorgs_software_spark.operators.corpus import minhash_lsh_dups
 
@@ -490,6 +536,7 @@ QUERIES = {
     "incremental_neardup": bench_incremental_neardup,
     "incremental_neardup_compact": bench_incremental_neardup_compact,
     "incremental_embed_neardup": bench_incremental_embed_neardup,
+    "incremental_resolve": bench_incremental_resolve,
     "corpus_pipeline": bench_corpus_pipeline,
     "link_many_3way": bench_link_many,
     "lineitem_agg": bench_lineitem_agg,

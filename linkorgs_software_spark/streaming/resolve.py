@@ -34,8 +34,9 @@ Per micro-batch N:
      |trigrams(name)|) rule gates candidates; candidates verify by
      ``cfg.distance_measure`` against the alias strings (id-join into the
      entities slice); best match per name = min (distance, entity_id).
-  3. CREATE: names with no acceptable match pair among THEMSELVES
-     (``candidate_pairs`` + ``score_pairs`` self-join) and resolve
+  3. CREATE: names with no acceptable match pair among THEMSELVES (a
+     self-join straight off the batch's persisted gram index, verified by
+     ``cfg.distance_measure`` at ``create_max_dist``) and resolve
      transitively via ``connected_components`` — a batch introducing
      "acme corp" and "acme corp." mints ONE entity. The entity id is the
      component minimum of the member name hashes: content-derived, so a
@@ -70,9 +71,8 @@ from ..cache import register_cache, scoped_caches
 from ..config import DEFAULT, LinkConfig
 from ..functions.normalize import NORM_COL, prepare_side
 from ..functions.scorers import distance_expr
-from ..operators.blocking import apply_df_cap, candidate_pairs, gram_index
+from ..operators.blocking import apply_df_cap, gram_index
 from ..operators.cluster import connected_components
-from ..operators.scoring import score_pairs
 from .dedup import _prior_history_paths
 from .history import (
     history_table_name,
@@ -90,10 +90,22 @@ def resolve_batch(
     name_col: str = "name",
     cfg: LinkConfig = DEFAULT,
     max_dist: float = 0.5,
+    create_max_dist: float | None = None,
     num_history_buckets: int = 64,
     compact_every: int | None = None,
 ) -> None:
-    """Process one micro-batch (public, so replay behaviour is testable)."""
+    """Process one micro-batch (public, so replay behaviour is testable).
+
+    ``max_dist`` gates MATCHING a mention to an existing directory alias;
+    ``create_max_dist`` (default: same) gates MERGING two new names into
+    one fresh entity. They are different decisions with different costs:
+    matching compares a mention against aliases of the SAME entity
+    (lenient is right — surface variants of one org differ in suffix or
+    typo), while the create-stage self-join compares DIFFERENT candidate
+    entities, where the same leniency fuses near-named competitors into
+    one id that no later batch can split (the directory is append-only).
+    Production setting: lenient ``max_dist``, strict ``create_max_dist``.
+    """
     with scoped_caches():
         _resolve_batch_inner(
             batch_df,
@@ -102,6 +114,7 @@ def resolve_batch(
             name_col=name_col,
             cfg=cfg,
             max_dist=max_dist,
+            create_max_dist=max_dist if create_max_dist is None else create_max_dist,
             num_history_buckets=num_history_buckets,
             compact_every=compact_every,
         )
@@ -115,6 +128,7 @@ def _resolve_batch_inner(
     name_col: str,
     cfg: LinkConfig,
     max_dist: float,
+    create_max_dist: float,
     num_history_buckets: int,
     compact_every: int | None,
 ) -> None:
@@ -196,19 +210,49 @@ def _resolve_batch_inner(
     unmatched = names
     if matched is not None:
         unmatched = names.join(matched, "_nid", "left_anti")
-    ux = unmatched.select(F.col("_nid").alias("x_id"), NORM_COL)
-    uy = unmatched.select(F.col("_nid").alias("y_id"), NORM_COL)
-    pairs = candidate_pairs(ux, uy, cfg).filter(F.col("x_id") < F.col("y_id"))
-    # score with max_dist=None, persist via the registry, filter AFTER the
-    # barrier: same pushdown-into-join guard as score_pairs' own internal
-    # persist, but registry-tracked so scoped_caches releases it per batch
-    # (score_pairs' internal persist is not, and would pin one frame per
-    # micro-batch for the stream's lifetime)
+    # candidate self-join straight off the PERSISTED batch gram index
+    # (candidate_pairs would re-explode both sides from scratch — two more
+    # gram builds and df-cap aggregates per micro-batch for frames this
+    # batch already computed). Same semantics: df-cap, then the
+    # >= ceil(min_shared_frac * |grams(x)|) rule with the PRE-cap
+    # denominator (monotone-under-capping contract, blocking.py).
+    utri = tri.join(unmatched.select("_nid"), "_nid", "left_semi")
+    if cfg.max_block_df is not None:
+        utri = apply_df_cap(utri, "gram", cfg.max_block_df)
+    cand_new = (
+        utri.select(F.col("_nid").alias("x_id"), "gram")
+        .join(utri.select(F.col("_nid").alias("y_id"), "gram"), "gram")
+        .filter(F.col("x_id") < F.col("y_id"))
+        .groupBy("x_id", "y_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .join(
+            ntri.select(F.col("_nid").alias("x_id"), "_n_grams"), "x_id"
+        )
+        .filter(
+            F.col("_shared")
+            >= F.ceil(F.lit(float(cfg.min_shared_frac)) * F.col("_n_grams"))
+        )
+    )
+    # persist BEFORE the threshold filter (the pushdown-into-join guard
+    # score_pairs applies, here registry-tracked so scoped_caches releases
+    # it at batch end instead of pinning one frame per micro-batch)
     scored = register_cache(
-        score_pairs(pairs, ux, uy, cfg, max_dist=None).persist()
+        cand_new.join(
+            names.select(F.col("_nid").alias("x_id"), F.col(NORM_COL).alias("_nx")),
+            "x_id",
+        )
+        .join(
+            names.select(F.col("_nid").alias("y_id"), F.col(NORM_COL).alias("_ny")),
+            "y_id",
+        )
+        .withColumn(
+            "stringdist",
+            distance_expr(cfg.distance_measure, "_nx", "_ny", qgram=cfg.qgram),
+        )
+        .persist()
     )
     edges = register_cache(
-        scored.filter(F.col("stringdist") <= F.lit(float(max_dist)))
+        scored.filter(F.col("stringdist") <= F.lit(float(create_max_dist)))
         .select(F.col("x_id").alias("src"), F.col("y_id").alias("dst"))
         .persist()
     )
@@ -283,6 +327,7 @@ def incremental_resolve(
     name_col: str = "name",
     cfg: LinkConfig = DEFAULT,
     max_dist: float = 0.5,
+    create_max_dist: float | None = None,
     num_history_buckets: int = 64,
     compact_every: int | None = None,
     available_now: bool = False,
@@ -300,6 +345,7 @@ def incremental_resolve(
             name_col=name_col,
             cfg=cfg,
             max_dist=max_dist,
+            create_max_dist=create_max_dist,
             num_history_buckets=num_history_buckets,
             compact_every=compact_every,
         )
