@@ -1076,6 +1076,36 @@ def _q_entity_directory(spark, sf_dir):
     return canonicalize_clusters(recs, cluster_col="component", name_col="name")
 
 
+def _q_merge_entities(spark, sf_dir):
+    """Offline directory merge (``plans.multi.merge_entities``): a synthetic
+    two-entities-per-base-name alias directory built from ``part`` — entity
+    ``2r`` holds the 16-char normalized name prefix, entity ``2r+1`` holds
+    the same prefix + " co" (``r`` = the base's min partkey) — fuzzily
+    self-linked at unrestricted Damerau-Levenshtein ≤ 3 and folded by
+    transitive closure onto component-minimum ids. Every alias is ≤ 19
+    chars ⇒ ≤ 17 distinct trigrams ⇒ the ⌈5%·n⌉ shared-gram rule is
+    exactly "shares ≥ 1 trigram" for EITHER orientation of the self-join,
+    so the oracle can block symmetrically; DuckDB's independent
+    ``damerau_levenshtein`` + a recursive-CTE closure replicate the rest."""
+    from linkorgs_software_spark import merge_entities
+
+    part = _read(spark, sf_dir, "part")
+    base = part.groupBy(
+        F.trim(F.substring(normalize_expr("p_name"), 1, 16)).alias("bname")
+    ).agg(F.min("p_partkey").cast("long").alias("r"))
+    directory = base.select(
+        (F.col("r") * 2).alias("entity_id"), F.col("bname").alias("name")
+    ).unionByName(
+        base.select(
+            (F.col("r") * 2 + 1).alias("entity_id"),
+            F.concat(F.col("bname"), F.lit(" co")).alias("name"),
+        )
+    )
+    return merge_entities(
+        directory, CFG.with_(distance_measure="dl"), max_dist=3.0
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1447,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_clusters": _q_pairwise_clusters,
         "resolution_diff": _q_resolution_diff,
         "entity_directory": _q_entity_directory,
+        "merge_entities": _q_merge_entities,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2006,6 +2037,43 @@ select w.component::bigint as component, w.nm as canonical_name,
   t.n_distinct_names::bigint as n_distinct_names,
   round(w.cnt::double / t.n_members, 6) as canonical_share
 from win w join tot t using (component) where w.rk = 1
+""",
+        # every alias ≤ 19 chars ⇒ ≤ 17 distinct trigrams ⇒ the Spark side's
+        # ⌈5%·n_grams(x)⌉ candidate rule is exactly "shares ≥ 1 trigram",
+        # independent of the hash-ordered self-join orientation — so the
+        # oracle blocks on a symmetric shared-gram EXISTS; the merge is the
+        # transitive closure of damerau_levenshtein ≤ 3 entity edges,
+        # labeled by component-minimum id
+        "merge_entities": f"""
+with recursive base as (
+  select trim(substr({_norm_sql('p_name')}, 1, 16)) as bname,
+         min(p_partkey) as r
+  from part group by 1),
+d as (
+  select (2*r)::bigint as eid, bname as name from base
+  union all
+  select (2*r+1)::bigint as eid, bname || ' co' as name from base),
+names as (select distinct name from d),
+t as (select name, unnest({_tri_sql('name')}) as gram from names),
+cand as (select a.name as nx, b.name as ny
+         from t a join t b using (gram)
+         where a.name < b.name group by 1, 2),
+sc as (select nx, ny from cand where damerau_levenshtein(nx, ny) <= 3),
+e0 as (select dx.eid as ex, dy.eid as ey
+       from sc join d dx on sc.nx = dx.name
+               join d dy on sc.ny = dy.name
+       where dx.eid != dy.eid),
+es as (select ex as a, ey as b from e0
+       union
+       select ey as a, ex as b from e0),
+reach as (
+  select a, b from es
+  union
+  select r.a, e.b from reach r join es e on r.b = e.a),
+comp as (select a, min(b) as m from reach group by a)
+select d.eid as entity_id,
+       least(d.eid, coalesce(c.m, d.eid)) as merged_entity_id
+from (select distinct eid from d) d left join comp c on d.eid = c.a
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

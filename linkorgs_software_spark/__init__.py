@@ -13,7 +13,7 @@ from .config import DEFAULT, LinkConfig, fixed_threshold_config
 from .operators.assess import MatchAssessment, assess_match_performance
 from .operators.calibrate import calibrated_threshold
 from .operators.cluster import clusters_to_pairs, connected_components, edges_from_matches
-from .plans.multi import link_many
+from .plans.multi import apply_entity_remap, link_many, merge_entities
 from .plans.pipeline import link_orgs
 
 __all__ = [
@@ -22,6 +22,8 @@ __all__ = [
     "fixed_threshold_config",
     "link_orgs",
     "link_many",
+    "merge_entities",
+    "apply_entity_remap",
     "calibrated_threshold",
     "connected_components",
     "edges_from_matches",

@@ -36,6 +36,135 @@ def _node_key(side: int, norm_col) -> F.Column:
     return F.concat(F.lit(f"{side:02d}:"), norm_col)
 
 
+def merge_entities(
+    directory: DataFrame,
+    cfg: LinkConfig,
+    *,
+    max_dist: float = 0.5,
+    entity_col: str = "entity_id",
+    name_col: str = "name",
+    return_edges: bool = False,
+) -> DataFrame:
+    """Fold an alias directory's near-named entities together: from
+    ``(entity_id, name)`` alias rows, returns the remap
+    ``(entity_id, merged_entity_id)`` — one row per distinct input entity,
+    where entities whose aliases match under ``cfg``'s blocking + scoring
+    at ``max_dist`` (or that share a normalized alias outright) land on
+    one ``merged_entity_id`` = the component-minimum entity id.
+
+    This is the offline merge step an APPEND-ONLY directory needs: the
+    streaming resolver (``streaming/resolve.py``) never fuses two existing
+    entities online — a mention near the aliases of two entities joins the
+    closest and the entities stay split. Periodically electing the
+    transitive closure over alias similarity and remapping ids is the
+    batch analogue of the reference regenerating its shipped directory
+    (``LinkOrgs/R/LinkOrgs_LinkOrgs.R:460-477`` consumes a PREBUILT
+    ``canonical_id``; this builds that id from the directory itself).
+
+    Scale shape: one df-capped trigram self-join over DISTINCT alias
+    names (the same machinery as ``link_orgs``' blocking), alias pairs
+    lifted to entity pairs at candidate volume, pointer-jumping
+    ``connected_components`` over the (tiny) entity graph. Nothing
+    touches alias rows pairwise except through the capped gram join.
+
+    ``return_edges=True`` returns the accepted entity-edge evidence frame
+    ``(entity_x, entity_y, name_norm_x, name_norm_y, stringdist)`` instead
+    (``stringdist`` NULL for shared-exact-alias edges) — the audit surface
+    for "why did these two merge", same discipline as ``link_many``.
+    """
+    prep = prepare_side(
+        directory.select(F.col(entity_col).alias("_ent"), F.col(name_col)),
+        name_col,
+        "_aid",
+        cfg,
+    )
+    a2e = prep.select("_aid", NORM_COL, "_ent").distinct()
+    names = a2e.select("_aid", NORM_COL).distinct()
+    nx = names.select(F.col("_aid").alias("_ax"), NORM_COL)
+    ny = names.select(F.col("_aid").alias("_ay"), NORM_COL)
+    pairs = candidate_pairs(nx, ny, cfg, x_id="_ax", y_id="_ay").filter(
+        F.col("_ax") < F.col("_ay")
+    )
+    scored = score_pairs(
+        pairs, nx, ny, cfg, x_id="_ax", y_id="_ay", max_dist=max_dist
+    )
+    ex = a2e.select(F.col("_aid").alias("_ax"), F.col("_ent").alias("_ex"))
+    ey = a2e.select(F.col("_aid").alias("_ay"), F.col("_ent").alias("_ey"))
+    # canonical orientation entity_x < entity_y (the alias self-join orders
+    # by name hash, which is unrelated to entity order — without this, one
+    # entity pair reached through two alias pairs could survive dedup twice
+    # in opposite orientations)
+    flip = F.col("_ex") > F.col("_ey")
+    fuzzy = (
+        scored.join(ex, "_ax")
+        .join(ey, "_ay")
+        .filter(F.col("_ex") != F.col("_ey"))
+        .select(
+            F.when(flip, F.col("_ey")).otherwise(F.col("_ex")).alias("_ex"),
+            F.when(flip, F.col("_ex")).otherwise(F.col("_ey")).alias("_ey"),
+            F.when(flip, F.col("name_norm_y"))
+            .otherwise(F.col("name_norm_x"))
+            .alias("name_norm_x"),
+            F.when(flip, F.col("name_norm_x"))
+            .otherwise(F.col("name_norm_y"))
+            .alias("name_norm_y"),
+            DIST_COL,
+        )
+    )
+    # the x<y self-join never pairs a name with itself, so two entities
+    # sharing one exact normalized alias need their own (distance-0ish)
+    # edge; NULL stringdist marks them in the evidence frame
+    exact = (
+        a2e.select(F.col("_aid"), F.col("_ent").alias("_ex"))
+        .join(a2e.select(F.col("_aid"), NORM_COL, F.col("_ent").alias("_ey")), "_aid")
+        .filter(F.col("_ex") < F.col("_ey"))
+        .select(
+            "_ex",
+            "_ey",
+            F.col(NORM_COL).alias("name_norm_x"),
+            F.col(NORM_COL).alias("name_norm_y"),
+            F.lit(None).cast("double").alias(DIST_COL),
+        )
+    )
+    edges = fuzzy.unionByName(exact).dropDuplicates(["_ex", "_ey"])
+    if return_edges:
+        return edges.select(
+            F.col("_ex").alias("entity_x"),
+            F.col("_ey").alias("entity_y"),
+            "name_norm_x",
+            "name_norm_y",
+            DIST_COL,
+        )
+    comp = connected_components(
+        edges.select("_ex", "_ey"), src="_ex", dst="_ey"
+    )
+    return (
+        a2e.select("_ent").distinct()
+        .join(comp.withColumnRenamed("id", "_ent"), "_ent", "left")
+        .select(
+            F.col("_ent").alias(entity_col),
+            F.coalesce("component", F.col("_ent")).alias("merged_entity_id"),
+        )
+    )
+
+
+def apply_entity_remap(
+    df: DataFrame, remap: DataFrame, *, entity_col: str = "entity_id"
+) -> DataFrame:
+    """Rewrite ``df[entity_col]`` through a ``merge_entities`` remap.
+    Entities absent from the remap keep their id (a remap computed before
+    new entities were minted stays applicable)."""
+    r = remap.select(
+        F.col(remap.columns[0]).alias(entity_col),
+        F.col("merged_entity_id").alias("_merged"),
+    )
+    return (
+        df.join(r, entity_col, "left")
+        .withColumn(entity_col, F.coalesce("_merged", F.col(entity_col)))
+        .drop("_merged")
+    )
+
+
 def link_many(
     sides: Sequence[DataFrame],
     cfg: LinkConfig,

@@ -17,7 +17,11 @@ from .embed_neardup import (  # noqa: F401
     rebucket_embed_history,
 )
 from .incremental import incremental_link  # noqa: F401
-from .resolve import incremental_resolve, resolve_batch  # noqa: F401
+from .resolve import (  # noqa: F401
+    compact_directory,
+    incremental_resolve,
+    resolve_batch,
+)
 from .neardup import incremental_neardup_dedup, neardup_batch  # noqa: F401
 from .sessions import sessionize_stream  # noqa: F401
 from .windows import windowed_event_stats  # noqa: F401

@@ -197,12 +197,22 @@ def _fold_set(
 
 
 def compact_plain_history(
-    spark: SparkSession, path: str, *, watermark: int, which: str = "all"
+    spark: SparkSession, path: str, *, watermark: int, which: str = "all",
+    transform=None, min_fold: int = 2
 ) -> int | None:
     """Fold a plain-parquet history's old ``batch_id`` partitions (prior
     snapshots + real batches < ``watermark``) into one new snapshot
     partition. Returns the new snapshot id, or None when there is nothing
-    to fold (<2 eligible partitions).
+    to fold (fewer than ``min_fold`` eligible partitions).
+
+    ``transform`` (optional, DataFrame -> DataFrame) is applied to the
+    folded union before the snapshot write — the hook the directory-merge
+    compaction uses to rewrite entity ids while folding (a pure fold plus
+    a separate rewrite would pay the write twice). ``min_fold=1`` lets a
+    transforming fold rewrite even a single slice; the default 2 keeps
+    the pure fold a no-op when there is nothing to merge. The transform
+    MUST NOT lazily reference the partitions being folded through frames
+    other than the one it is given (they are deleted after the rename).
 
     Replay safety: a replayed batch N excludes only ``batch_id == N``, and
     only batches STRICTLY below the caller's watermark (committed batches
@@ -211,12 +221,15 @@ def compact_plain_history(
     absorb a partition that a replay would need to exclude."""
     ids = list_batch_ids(spark, path)
     fold, new_id = _fold_set(ids, watermark, which=which)
-    if len(fold) <= 1:
+    if len(fold) < max(min_fold, 1):
         return None
     fs, _, jvm = _fs_and_path(spark, path)
     dirs = [os.path.join(path, f"batch_id={b}") for b in fold]
     tmp = path.rstrip("/") + "__compact_tmp"
-    spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+    folded = spark.read.parquet(*dirs)
+    if transform is not None:
+        folded = transform(folded)
+    folded.write.mode("overwrite").parquet(tmp)
     # rename INTO the partition namespace only after the tmp write committed
     fs.rename(
         jvm.org.apache.hadoop.fs.Path(tmp),

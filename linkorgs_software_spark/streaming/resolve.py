@@ -47,13 +47,14 @@ Per micro-batch N:
      slices written to ``batch_id=N`` (idempotent overwrite), grams
      bucketed via ``write_history_bucketed``.
 
-Append-only semantics, stated honestly: the directory never MERGES two
-existing entities — a mention similar to aliases of two entities joins the
-closest one and the entities stay distinct (periodic offline
-``link_many``/``connected_components`` over the accumulated directory is
-the compaction path for that). And within a batch, a name that matched the
-directory does not also bridge into the batch's new-entity graph — match
-beats create.
+Append-only semantics, stated honestly: within the stream the directory
+never MERGES two existing entities — a mention similar to aliases of two
+entities joins the closest one and the entities stay distinct. The merge
+pass is ``compact_directory`` (below): a periodic offline
+``merge_entities`` self-link over the accumulated directory that rewrites
+the entity slices through the fold and records the id remap under
+``remaps/``. And within a batch, a name that matched the directory does
+not also bridge into the batch's new-entity graph — match beats create.
 
 At stream lifetime scale the gram history is compacted with the shared
 tiered scheme (``history.maybe_compact``): metadata and file count stay
@@ -75,6 +76,7 @@ from ..operators.blocking import apply_df_cap, gram_index
 from ..operators.cluster import connected_components
 from .dedup import _prior_history_paths
 from .history import (
+    compact_plain_history,
     history_table_name,
     maybe_compact,
     read_prior_history,
@@ -317,6 +319,88 @@ def _resolve_batch_inner(
     new_aliases.select("alias_id", "entity_id", NORM_COL).write.mode(
         "overwrite"
     ).parquet(f"{entities_dir}/batch_id={batch_id}")
+
+
+def compact_directory(
+    spark,
+    out_dir: str,
+    *,
+    watermark: int,
+    cfg: LinkConfig = DEFAULT,
+    max_dist: float = 0.5,
+):
+    """The periodic entity-MERGE pass the append-only directory defers to
+    (module docstring): fuzzily self-link the accumulated alias directory
+    (``plans.multi.merge_entities`` — df-capped gram blocking, distance
+    verify at ``max_dist``, pointer-jumping components) and fold every
+    committed entity slice below ``watermark`` into ONE snapshot slice
+    with the merged entity ids, via ``compact_plain_history``'s transform
+    hook (one write, not fold-then-rewrite).
+
+    ``watermark`` must be an UNCOMMITTED batch id (the next batch the
+    stream will process): slices at/above it are neither read nor folded,
+    so a replaying batch still sees exactly the history it is contracted
+    to see. Call between batches — e.g. every K batches from the caller,
+    or offline while the stream is down.
+
+    Returns the REMAP frame ``(entity_id, merged_entity_id)`` — only the
+    entities whose id changed — read back from its durable home
+    ``out_dir/remaps/watermark=N`` (so its lineage survives the fold's
+    deletes); ``None`` when nothing merged. Already-written assignment
+    slices are NOT rewritten (they are outputs, not state): remap them
+    lazily with ``plans.multi.apply_entity_remap`` over the accumulated
+    ``remaps/`` frames, oldest first.
+
+    Crash safety, same discipline as the tiered folds: the snapshot is
+    written and renamed in before the folded slices are deleted, so a
+    crash leaves at worst DUPLICATE alias rows — one with the old entity
+    id, one with the merged id. That window degrades gracefully: the
+    merged id is the component MINIMUM, and the match path's best-alias
+    pick breaks distance ties on ``min(entity_id)``, so a mention seeing
+    both rows still resolves to the merged id.
+
+    The gram history is untouched: it maps ``gram -> alias_id`` and the
+    merge rewrites only ``alias -> entity``, which is why this pass costs
+    one directory self-link plus one entities rewrite — never a rebuild
+    of the bucketed gram index."""
+    from ..plans.multi import merge_entities
+
+    entities_dir = os.path.join(out_dir, "history", "entities")
+    paths = _prior_history_paths(spark, entities_dir, watermark)
+    if not paths:
+        return None
+    remap_path = os.path.join(out_dir, "remaps", f"watermark={watermark}")
+    with scoped_caches():
+        dir_df = spark.read.parquet(*paths)
+        remap = register_cache(
+            merge_entities(
+                dir_df, cfg, max_dist=max_dist,
+                entity_col="entity_id", name_col=NORM_COL,
+            )
+            .filter(F.col("entity_id") != F.col("merged_entity_id"))
+            .persist()
+        )
+        if remap.limit(1).count() == 0:
+            return None
+        remap.write.mode("overwrite").parquet(remap_path)
+    saved = spark.read.parquet(remap_path)
+
+    def _remap_entities(df: DataFrame) -> DataFrame:
+        return (
+            df.join(
+                saved.withColumnRenamed("merged_entity_id", "_m"),
+                "entity_id",
+                "left",
+            )
+            .withColumn("entity_id", F.coalesce("_m", F.col("entity_id")))
+            .drop("_m")
+        )
+
+    compact_plain_history(
+        spark, entities_dir, watermark=watermark,
+        transform=_remap_entities, min_fold=1,
+    )
+    return saved
 
 
 def incremental_resolve(

@@ -481,3 +481,60 @@ def test_link_many_return_edges_audit_surface(spark):
         f"{r.side:02d}:{r.name_norm}": r.entity_id for r in ent.collect()
     }
     assert all(key2ent[r.src] == key2ent[r.dst] for r in rows)
+
+
+def test_merge_entities_remap_and_edges(spark):
+    """Offline directory merge: entities whose aliases are near-named (or
+    exactly shared) collapse onto the component-minimum entity id;
+    unrelated entities map to themselves; ``return_edges=True`` exposes
+    the per-pair evidence (NULL stringdist for shared-exact edges)."""
+    from linkorgs_software_spark import LinkConfig, merge_entities
+
+    directory = spark.createDataFrame(
+        [
+            # e1/e2: fuzzy pair ("acme corporation" vs "acme corporation x")
+            (10, "Acme Corporation"),
+            (20, "Acme Corporation x"),
+            # e3/e4: share an exact normalized alias
+            (30, "Globex Inc"),
+            (40, "globex inc!"),
+            (40, "Globex Incorporated"),
+            # e5: unrelated singleton
+            (50, "Initech LLC"),
+        ],
+        "entity_id long, name string",
+    )
+    remap = {
+        r.entity_id: r.merged_entity_id
+        for r in merge_entities(directory, LinkConfig(), max_dist=0.4).collect()
+    }
+    assert remap == {10: 10, 20: 10, 30: 30, 40: 30, 50: 50}
+
+    edges = merge_entities(
+        directory, LinkConfig(), max_dist=0.4, return_edges=True
+    ).collect()
+    by_pair = {(r.entity_x, r.entity_y): r for r in edges}
+    assert set(by_pair) == {(10, 20), (30, 40)}
+    assert by_pair[(10, 20)].stringdist is not None
+    assert by_pair[(10, 20)].stringdist <= 0.4
+    assert by_pair[(30, 40)].stringdist is None  # shared exact alias
+
+
+def test_apply_entity_remap_partial_coverage(spark):
+    """Entities absent from the remap keep their id — a remap computed
+    before newer entities were minted still applies cleanly."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark import apply_entity_remap
+
+    assigns = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 99)], "name string, entity_id long"
+    )
+    remap = spark.createDataFrame(
+        [(20, 10)], "entity_id long, merged_entity_id long"
+    )
+    out = {
+        r.name: r.entity_id
+        for r in apply_entity_remap(assigns, remap).collect()
+    }
+    assert out == {"a": 10, "b": 10, "c": 99}

@@ -1015,3 +1015,70 @@ def test_resolve_batch_releases_operator_caches(spark, tmp_path):
     resolve_batch(spark.createDataFrame([("Initech LLC",)], "name string"), 1, out)
     assert len(cache._OPERATOR_CACHES) == registry_before
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == storage_before
+
+
+def test_compact_directory_merges_split_entities(spark, tmp_path):
+    """The offline merge pass: two entities minted in separate batches at
+    a strict threshold fold into one via ``compact_directory`` at a
+    lenient one — the entity slices are rewritten through the fold, the
+    remap lands under remaps/, old assignments remap lazily via
+    ``apply_entity_remap``, and the NEXT batch matches into the merged id
+    (the gram history is untouched)."""
+    from linkorgs_software_spark import apply_entity_remap
+    from linkorgs_software_spark.streaming import compact_directory, resolve_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    out = str(tmp_path / "resolve_merge")
+    # strict match threshold: the variant does NOT match batch 0's entity
+    resolve_batch(
+        spark.createDataFrame([("Acme Corporation",)], "name string"),
+        0, out, max_dist=0.05,
+    )
+    resolve_batch(
+        spark.createDataFrame([("Acme Corporation x",)], "name string"),
+        1, out, max_dist=0.05,
+    )
+    asg = spark.read.parquet(f"{out}/assignments")
+    ids = {r.entity_id for r in asg.collect()}
+    assert len(ids) == 2  # split, as the strict threshold dictates
+
+    remap = compact_directory(spark, out, watermark=2, max_dist=0.4)
+    assert remap is not None
+    merged_id = min(ids)
+    assert {(r.entity_id, r.merged_entity_id) for r in remap.collect()} == {
+        (max(ids), merged_id)
+    }
+    # entity slices folded into one snapshot carrying the merged id
+    assert list_batch_ids(spark, f"{out}/history/entities") == [-1]
+    ents = spark.read.parquet(f"{out}/history/entities").collect()
+    assert {r.entity_id for r in ents} == {merged_id}
+    assert len(ents) == 2  # both alias rows survive the fold
+    # old assignments remap lazily (outputs are never rewritten in place)
+    remapped = apply_entity_remap(asg, remap)
+    assert {r.entity_id for r in remapped.collect()} == {merged_id}
+    # the next batch matches the merged entity through either alias form
+    resolve_batch(
+        spark.createDataFrame([("ACME Corporation x!",)], "name string"),
+        2, out, max_dist=0.4,
+    )
+    r2 = spark.read.parquet(f"{out}/assignments/batch_id=2").collect()[0]
+    assert r2.matched_prior and r2.entity_id == merged_id
+
+
+def test_compact_directory_no_merge_is_noop(spark, tmp_path):
+    """Nothing near-named => None, no remap directory, slices untouched."""
+    import os
+
+    from linkorgs_software_spark.streaming import compact_directory, resolve_batch
+    from linkorgs_software_spark.streaming.history import list_batch_ids
+
+    out = str(tmp_path / "resolve_nomerge")
+    resolve_batch(
+        spark.createDataFrame([("Acme Corporation",)], "name string"), 0, out
+    )
+    resolve_batch(
+        spark.createDataFrame([("Initech LLC",)], "name string"), 1, out
+    )
+    assert compact_directory(spark, out, watermark=2, max_dist=0.2) is None
+    assert not os.path.exists(f"{out}/remaps")
+    assert list_batch_ids(spark, f"{out}/history/entities") == [0, 1]

@@ -173,6 +173,59 @@ def q_incremental_embed(spark, tag):
     return kept
 
 
+def q_incremental_resolve(spark, tag):
+    """Evolving-directory resolver at 1x/10x: batch 0 ingests the base org
+    names (create path — within-batch blocking + CC + directory
+    bootstrap), batches 1-3 ingest one deterministic variant form each
+    (case fold, char drop, suffix swap) that should MATCH the directory.
+    Same df-cap as q_link_many and for the same measured reason: these
+    short names share 8 corporate suffixes, so at the default
+    max_block_df=10_000 the suffix posting lists square inside BOTH the
+    create self-join and the history match join; max_block_df=2000 drops
+    exactly those stop-grams at 10x. create_max_dist is strict (0.3) so
+    distinct base names stay distinct entities; max_dist 0.6 admits the
+    variant forms."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark import LinkConfig
+    from linkorgs_software_spark.streaming import resolve_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet").select("name")
+    variants = [
+        base.selectExpr("upper(name) as name"),
+        base.selectExpr("substr(name, 2) as name"),
+        base.selectExpr(
+            "concat(regexp_replace(name, ' [a-z]+$', ''), ' co') as name"
+        ),
+    ]
+    cfg = LinkConfig(max_block_df=2000)
+    out = tempfile.mkdtemp(prefix="scale_resolve_")
+    times = []
+    try:
+        for b, batch in enumerate([base] + variants):
+            t0 = time.time()
+            resolve_batch(
+                batch, b, out, cfg=cfg, max_dist=0.6, create_max_dist=0.3
+            )
+            times.append(round(time.time() - t0, 2))
+        n_ent = (
+            spark.read.parquet(f"{out}/assignments")
+            .select("entity_id").distinct().count()
+        )
+    finally:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'grams')}")
+        except Exception:
+            pass
+        shutil.rmtree(out, ignore_errors=True)
+    PER_BATCH.setdefault(f"incremental_resolve_{tag}", []).append(times)
+    return n_ent
+
+
 def q_link_many(spark, tag):
     """3-way resolution at a df-cap that BITES on this corpus: the names
     share 8 corporate suffixes, and short names make the reference's
@@ -329,6 +382,7 @@ QUERIES = {
     "incremental_neardup": q_incremental_neardup,
     "incremental_neardup_compact": q_incremental_neardup_compact,
     "incremental_embed_neardup": q_incremental_embed,
+    "incremental_resolve": q_incremental_resolve,
     "link_many_3way": q_link_many,
     "canonicalize_clusters": q_canonicalize,
     "pairwise_scores": q_pairwise,
