@@ -414,14 +414,35 @@ def incremental_resolve(
     create_max_dist: float | None = None,
     num_history_buckets: int = 64,
     compact_every: int | None = None,
+    merge_every: int | None = None,
+    merge_max_dist: float | None = None,
     available_now: bool = False,
 ):
     """Start a streaming query resolving each micro-batch of mentions
     against the evolving directory. Resolved rows land in
     ``out_dir/assignments/batch_id=N``; directory state under
-    ``out_dir/history``."""
+    ``out_dir/history``.
+
+    ``merge_every=K`` runs ``compact_directory`` before every K-th batch
+    (watermark = the incoming batch id, which is by construction
+    uncommitted — exactly the contract the merge pass requires), at
+    ``merge_max_dist`` (default: ``max_dist`` — two entities either of
+    which a mention at that distance could join are operationally one).
+    Replay-safe: a crashed-and-replayed K-th batch re-runs the merge
+    against the already-merged directory, which finds nothing and no-ops.
+    Remaps accumulate durably under ``out_dir/remaps``; already-written
+    assignment slices are remapped lazily by the consumer
+    (``plans.multi.apply_entity_remap``), never rewritten in place."""
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        if merge_every is not None and batch_id > 0 and batch_id % merge_every == 0:
+            compact_directory(
+                batch_df.sparkSession,
+                out_dir,
+                watermark=batch_id,
+                cfg=cfg,
+                max_dist=max_dist if merge_max_dist is None else merge_max_dist,
+            )
         resolve_batch(
             batch_df,
             batch_id,

@@ -1082,3 +1082,51 @@ def test_compact_directory_no_merge_is_noop(spark, tmp_path):
     assert compact_directory(spark, out, watermark=2, max_dist=0.2) is None
     assert not os.path.exists(f"{out}/remaps")
     assert list_batch_ids(spark, f"{out}/history/entities") == [0, 1]
+
+
+def test_incremental_resolve_merge_every_in_stream(spark, tmp_path):
+    """``merge_every`` runs the directory-merge pass inside the stream:
+    two entities split by a strict match threshold across early batches
+    are folded before the K-th batch, and later mentions land on the
+    merged id."""
+    import os
+    import time
+
+    from linkorgs_software_spark.streaming import incremental_resolve
+
+    src = str(tmp_path / "ms_src")
+    out = str(tmp_path / "ms_out")
+    ckpt = str(tmp_path / "ms_ckpt")
+    os.makedirs(src)
+    batches = [["Acme Corporation"], ["Acme Corporation x"], ["Zeta Org"]]
+    t0 = time.time() - 30
+    for i, names in enumerate(batches):
+        spark.createDataFrame([(n,) for n in names], "name string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f{i}")
+        # deterministic batch order: the file source lists by mod time
+        for root, _, files in os.walk(f"{src}/f{i}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t0 + i * 10, t0 + i * 10))
+    stream = (
+        spark.readStream.schema("name string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = incremental_resolve(
+        stream, out, ckpt,
+        max_dist=0.05, merge_every=2, merge_max_dist=0.4,
+        available_now=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    asg = spark.read.parquet(f"{out}/assignments")
+    assert asg.count() == 3
+    # the strict threshold split acme across batches 0/1; the merge pass
+    # before batch 2 folded the directory
+    ents = spark.read.parquet(f"{out}/history/entities").collect()
+    acme_ids = {r.entity_id for r in ents if r.name_norm.startswith("acme")}
+    assert len(acme_ids) == 1
+    assert os.path.exists(f"{out}/remaps/watermark=2")
