@@ -1106,6 +1106,66 @@ def _q_merge_entities(spark, sf_dir):
     )
 
 
+def _q_incremental_resolve(spark, sf_dir):
+    """The evolving-directory streaming resolver (``streaming/resolve.py``)
+    run as a deterministic 2-batch workload and VALUE-HASH oracled — the
+    construction makes every internal nondeterminism SQL-replicable:
+
+    * batch 0 ingests 12-char normalized ``p_name`` prefixes plus their
+      " co" variants (create path: gram-blocked self-join, DL ≤ 3 verify,
+      transitive closure); batch 1 ingests upper-cased bases (match path:
+      normalization folds them onto existing aliases) plus novel
+      " zzz co" forms (create path against a non-empty directory — every
+      such name is ≥ 4 DL edits from every directory alias by
+      construction, so none match).
+    * ``max_dist=0.5`` under the INTEGER-valued DL distance admits only
+      distance-0 (exact normalized) matches — the best-match tie-break on
+      internal hash ids can never fire, so the oracle needs no xxhash.
+    * every name is ≤ 19 chars ⇒ ≤ 17 distinct trigrams ⇒ the
+      ⌈5%·n_grams⌉ rule is "shares ≥ 1 trigram" for either orientation.
+    * entity identity is surfaced as ``entity_key`` = the minimum member
+      ``name_norm`` per resolved entity (hash-valued entity ids cancel
+      out); DuckDB rebuilds both batches' closures with recursive CTEs.
+
+    State lives under a per-sf temp dir, wiped first so every invocation
+    is a byte-identical fresh 2-batch run."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from linkorgs_software_spark.streaming import resolve_batch
+    from linkorgs_software_spark.streaming.history import history_table_name
+
+    part = _read(spark, sf_dir, "part")
+    base = part.select(
+        F.trim(F.substring(normalize_expr("p_name"), 1, 12)).alias("b")
+    ).distinct()
+    b0 = base.select(F.col("b").alias("name")).unionByName(
+        base.select(F.concat(F.col("b"), F.lit(" co")).alias("name"))
+    )
+    b1 = base.select(F.upper(F.col("b")).alias("name")).unionByName(
+        base.select(F.concat(F.col("b"), F.lit(" zzz co")).alias("name"))
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"linkorgs_resolve_q_{key}")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {history_table_name(out, 'grams')}")
+    except Exception:
+        pass
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CFG.with_(distance_measure="dl")
+    resolve_batch(b0, 0, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0)
+    resolve_batch(b1, 1, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0)
+    asg = spark.read.parquet(f"{out}/assignments")
+    keys = asg.groupBy("entity_id").agg(F.min(NORM_COL).alias("entity_key"))
+    return asg.join(keys, "entity_id").select(
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+        F.col(NORM_COL).alias("name_norm"),
+        "matched_prior",
+        "entity_key",
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1478,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolution_diff": _q_resolution_diff,
         "entity_directory": _q_entity_directory,
         "merge_entities": _q_merge_entities,
+        "incremental_resolve": _q_incremental_resolve,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2074,6 +2135,57 @@ comp as (select a, min(b) as m from reach group by a)
 select d.eid as entity_id,
        least(d.eid, coalesce(c.m, d.eid)) as merged_entity_id
 from (select distinct eid from d) d left join comp c on d.eid = c.a
+""",
+        # the resolver's 2-batch workload, rebuilt relationally: batch 0's
+        # create closure over {base, base co}; batch 1's matches are exactly
+        # the names already in the directory (max_dist 0.5 on an integer
+        # distance => distance-0 only), its creates the " zzz co" closure.
+        # All names <= 17 distinct trigrams => blocking = "shares >= 1
+        # trigram" either way; entity_key = component-minimum member name
+        # (name-string min-label, same rule as the Spark side's
+        # min(name_norm) per entity id)
+        "incremental_resolve": f"""
+with recursive b as (
+  select distinct trim(substr({_norm_sql('p_name')}, 1, 12)) as bn from part),
+n0 as (select bn as name from b union all select bn || ' co' from b),
+n1c as (select bn || ' zzz co' as name from b),
+t0 as (select name, unnest({_tri_sql('name')}) as gram from n0),
+c0 as (select a.name as nx, y.name as ny
+       from t0 a join t0 y using (gram)
+       where a.name < y.name group by 1, 2),
+e0 as (select nx, ny from c0 where damerau_levenshtein(nx, ny) <= 3),
+es0 as (select nx as a, ny as b from e0
+        union select ny as a, nx as b from e0),
+r0 as (select a, b from es0
+       union
+       select r.a, e.b from r0 r join es0 e on r.b = e.a),
+g0 as (select n.name,
+         least(n.name, coalesce(m.m, n.name)) as entity_key
+       from n0 n left join (select a, min(b) as m from r0 group by a) m
+         on n.name = m.a),
+t1 as (select name, unnest({_tri_sql('name')}) as gram from n1c),
+c1 as (select a.name as nx, y.name as ny
+       from t1 a join t1 y using (gram)
+       where a.name < y.name group by 1, 2),
+e1 as (select nx, ny from c1 where damerau_levenshtein(nx, ny) <= 3),
+es1 as (select nx as a, ny as b from e1
+        union select ny as a, nx as b from e1),
+r1 as (select a, b from es1
+       union
+       select r.a, e.b from r1 r join es1 e on r.b = e.a),
+g1 as (select n.name,
+         least(n.name, coalesce(m.m, n.name)) as entity_key
+       from n1c n left join (select a, min(b) as m from r1 group by a) m
+         on n.name = m.a)
+select 0::bigint as batch_id, name as name_norm,
+       false as matched_prior, entity_key
+from g0
+union all
+select 1::bigint, g.name, true, g.entity_key
+from g0 g join b on g.name = b.bn
+union all
+select 1::bigint, name, false, entity_key
+from g1
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,
