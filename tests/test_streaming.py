@@ -1130,3 +1130,44 @@ def test_incremental_resolve_merge_every_in_stream(spark, tmp_path):
     acme_ids = {r.entity_id for r in ents if r.name_norm.startswith("acme")}
     assert len(acme_ids) == 1
     assert os.path.exists(f"{out}/remaps/watermark=2")
+
+
+def test_resolve_history_gram_join_shuffle_free(spark, tmp_path):
+    """The resolver's match join reads the gram directory history as a
+    BUCKETED scan with no Exchange above it — only the mention batch
+    shuffles, so per-batch match cost tracks the batch, not directory
+    lifetime (same invariant as the neardup streams)."""
+    from linkorgs_software_spark.streaming import resolve_batch
+    from linkorgs_software_spark.streaming.history import (
+        history_table_name,
+        read_prior_history,
+    )
+
+    out = str(tmp_path / "resolve_bucketed")
+    resolve_batch(
+        spark.createDataFrame([("Acme Corp",), ("Globex Inc",)], "name string"),
+        0, out,
+    )
+    tbl = history_table_name(out, "grams")
+    assert spark.catalog.tableExists(tbl)
+    prior = read_prior_history(spark, tbl, f"{out}/history/grams", 1)
+    batch_grams = spark.createDataFrame([("acm", 7)], "gram string, _nid long")
+    old_broadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = (
+            batch_grams.join(prior.select("gram", "alias_id"), "gram")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_broadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert "Bucketed: true" in plan, plan
+    # exactly ONE exchange: the mention-batch side; none above the history scan
+    assert plan.count("Exchange") == 1, plan
+    seg_after_scan = plan[plan.index("FileScan parquet"):]
+    assert "Exchange" not in seg_after_scan
