@@ -692,8 +692,10 @@ def run_scaling(sf_dir: str) -> None:
 AB_DEFAULT_QUERIES = (
     "link_block_score_heavy,link_full_pipeline,f1_gate,minhash_lsh_dedup,"
     "incremental_neardup,incremental_neardup_compact,incremental_embed_neardup,"
-    "dup_span_runs,dedup_passages"
+    "dup_span_runs,dedup_passages,incremental_resolve"
 )
+# incremental_resolve first appears in round 6: against an older ref the
+# ref side simply skips the unknown name and its median reads NaN.
 
 
 def _ab_worktree(ref: str) -> str:

@@ -226,6 +226,32 @@ def q_incremental_resolve(spark, tag):
     return n_ent
 
 
+def q_directory_merge(spark, tag):
+    """merge_entities at 1x/10x: a two-entities-per-name directory (base
+    name and its ' x' variant as separate entities) self-linked and
+    folded. Same df-cap rule as the other name workloads (the 8 shared
+    corporate suffixes would square otherwise). Expected output: entity
+    count halves (each base absorbs its variant), so counts are the
+    correctness read and the time ratio is the scale read — the alias
+    self-join is the same df-capped blocked join link_many uses, plus the
+    entity-graph CC, which is tiny (2-node components)."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark import LinkConfig, merge_entities
+
+    base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet").select("name")
+    d = base.select(
+        F.concat(F.lit("a:"), F.col("name")).alias("entity_id"), "name"
+    ).unionByName(
+        base.select(
+            F.concat(F.lit("b:"), F.col("name")).alias("entity_id"),
+            F.concat(F.col("name"), F.lit(" x")).alias("name"),
+        )
+    )
+    remap = merge_entities(d, LinkConfig(max_block_df=2000), max_dist=0.4)
+    return remap.select("merged_entity_id").distinct().count()
+
+
 def q_link_many(spark, tag):
     """3-way resolution at a df-cap that BITES on this corpus: the names
     share 8 corporate suffixes, and short names make the reference's
@@ -383,6 +409,7 @@ QUERIES = {
     "incremental_neardup_compact": q_incremental_neardup_compact,
     "incremental_embed_neardup": q_incremental_embed,
     "incremental_resolve": q_incremental_resolve,
+    "directory_merge": q_directory_merge,
     "link_many_3way": q_link_many,
     "canonicalize_clusters": q_canonicalize,
     "pairwise_scores": q_pairwise,
