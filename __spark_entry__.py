@@ -1166,6 +1166,33 @@ def _q_incremental_resolve(spark, sf_dir):
     )
 
 
+def _q_golden_record(spark, sf_dir):
+    """Multi-field survivorship (``operators/cluster.golden_record``):
+    brand-keyed part clusters publish one golden record each — majority
+    type (ties → min), max retail price, min size, longest name
+    (ties → min). Every strategy is a counts/extrema aggregate DuckDB
+    replicates directly; NULL-vote exclusion is part of both."""
+    from linkorgs_software_spark.operators.cluster import golden_record
+
+    part = _read(spark, sf_dir, "part")
+    recs = part.select(
+        F.col("p_brand").alias("component"),
+        "p_type",
+        "p_retailprice",
+        "p_size",
+        "p_name",
+    )
+    return golden_record(
+        recs,
+        {
+            "p_type": "majority",
+            "p_retailprice": "max",
+            "p_size": "min",
+            "p_name": "longest",
+        },
+    )
+
+
 def _q_b3_coverage(spark, sf_dir):
     """B-cubed with ``unmatched="singleton"`` over PARTIAL system output:
     the predicted clustering covers only custkey % 3 != 0 (a system that
@@ -1539,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_directory": _q_entity_directory,
         "merge_entities": _q_merge_entities,
         "incremental_resolve": _q_incremental_resolve,
+        "golden_record": _q_golden_record,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2186,6 +2214,29 @@ from g0 g join b on g.name = b.bn
 union all
 select 1::bigint, name, false, entity_key
 from g1
+""",
+        "golden_record": """
+with base as (
+  select p_brand as component, count(*)::bigint as n_members,
+         max(p_retailprice) as p_retailprice, min(p_size) as p_size
+  from part group by 1),
+lng as (
+  select component, p_name from (
+    select p_brand as component, p_name,
+           row_number() over (partition by p_brand
+             order by length(p_name) desc, p_name asc) as rk
+    from part where p_name is not null) where rk = 1),
+maj as (
+  select component, p_type from (
+    select p_brand as component, p_type, count(*) as cnt
+    from part where p_type is not null group by 1, 2
+    qualify row_number() over (partition by component
+      order by cnt desc, p_type asc) = 1))
+select b.component, b.n_members, m.p_type, b.p_retailprice, b.p_size,
+       l.p_name
+from base b
+left join maj m using (component)
+left join lng l using (component)
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

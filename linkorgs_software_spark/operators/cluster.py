@@ -182,3 +182,92 @@ def canonicalize_clusters(
             "canonical_share"
         ),
     )
+
+
+GOLDEN_STRATEGIES = ("majority", "min", "max", "longest")
+
+
+def golden_record(
+    records: DataFrame,
+    fields: dict[str, str],
+    *,
+    cluster_col: str = "component",
+) -> DataFrame:
+    """Multi-field survivorship: elect one published value PER FIELD per
+    entity cluster — the generalization of ``canonicalize_clusters``
+    (which elects only a name) to the full golden record an MDM-style
+    consumer publishes after resolution.
+
+    ``fields`` maps column → strategy:
+
+    * ``"majority"`` — most frequent non-null value; ties break to the
+      minimum value (deterministic under any partitioning).
+    * ``"min"`` / ``"max"`` — plain extrema (native null-ignoring
+      aggregates; the right call for "earliest ts" / "highest balance").
+    * ``"longest"`` — longest value, ties to the minimum (the
+      most-qualified surface form; strings only).
+
+    NULLs never vote under any strategy; a cluster whose field is
+    all-NULL publishes NULL for it. Output: one row per cluster —
+    ``(component, n_members, <field...>)`` with the fields' original
+    names and types.
+
+    Scale shape: ONE base aggregate carries ``n_members`` and every
+    min/max/longest field (map-side combined), plus one (cluster, value)
+    count aggregate + distinct-value window per MAJORITY field — each
+    bounded by value variety, never membership, so a viral entity costs
+    rows proportional to its distinct values. No member materialization,
+    no self-joins; the per-majority-field aggregates are schema-bounded
+    (len(fields)), not data-bounded.
+    """
+    bad = {c: s for c, s in fields.items() if s not in GOLDEN_STRATEGIES}
+    if bad:
+        raise ValueError(
+            f"unknown golden_record strategies {bad}; choose from {GOLDEN_STRATEGIES}"
+        )
+    if cluster_col in fields:
+        raise ValueError("cluster_col cannot also be an elected field")
+    from pyspark.sql import Window
+
+    comp = F.col(cluster_col).alias("component")
+    base_aggs = [F.count(F.lit(1)).cast("long").alias("n_members")]
+    for col, strat in fields.items():
+        if strat == "min":
+            base_aggs.append(F.min(col).alias(col))
+        elif strat == "max":
+            base_aggs.append(F.max(col).alias(col))
+        elif strat == "longest":
+            # null-free ordering key: non-null beats null (flag), then
+            # longest, then minimum value — a null value must never win
+            # min_by just because its struct fields compare low
+            base_aggs.append(
+                F.min_by(
+                    col,
+                    F.struct(
+                        F.col(col).isNull().cast("int"),
+                        F.coalesce(-F.length(col), F.lit(0)),
+                        F.coalesce(F.col(col).cast("string"), F.lit("")),
+                    ),
+                ).alias(col)
+            )
+    out = records.groupBy(comp).agg(*base_aggs)
+    for col, strat in fields.items():
+        if strat != "majority":
+            continue
+        counts = (
+            records.filter(F.col(col).isNotNull())
+            .groupBy(comp, F.col(col).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("_cnt").desc(), F.col("_v").asc()
+        )
+        winner = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("component", F.col("_v").alias(col))
+        )
+        out = out.join(winner, "component", "left")
+    return out.select(
+        "component", "n_members", *[F.col(c) for c in fields]
+    )

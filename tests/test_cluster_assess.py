@@ -358,3 +358,53 @@ def test_resolution_diff_hand_checked(spark):
     assert r.n_split == 1      # A
     assert r.n_merged == 1     # Z
     assert r.n_unchanged == 1  # D -> W
+
+
+def test_golden_record_strategies_and_nulls(spark):
+    """Per-field survivorship: majority (ties -> min), min, max, longest
+    (ties -> min); NULLs never vote; an all-NULL field publishes NULL."""
+    from linkorgs_software_spark.operators.cluster import golden_record
+
+    recs = spark.createDataFrame(
+        [
+            # cluster 1: majority seg=A (2 votes vs 1); bal max 30;
+            # name min "ann"; alias longest "carolyn", null never votes
+            (1, "A", 10.0, "bob", "carolyn"),
+            (1, "A", 30.0, "ann", "zz"),
+            (1, "B", 20.0, "cid", None),
+            # cluster 2: majority TIE A/B -> min "A"; alias all NULL -> NULL
+            (2, "B", 5.0, "dee", None),
+            (2, "A", None, "eve", None),
+        ],
+        "component long, seg string, bal double, nm string, alias string",
+    )
+    out = {
+        r.component: r
+        for r in golden_record(
+            recs,
+            {"seg": "majority", "bal": "max", "nm": "min", "alias": "longest"},
+        ).collect()
+    }
+    assert out[1].n_members == 3
+    assert (out[1].seg, out[1].bal, out[1].nm, out[1].alias) == (
+        "A", 30.0, "ann", "carolyn",
+    )
+    assert (out[2].seg, out[2].bal, out[2].nm, out[2].alias) == (
+        "A", 5.0, "dee", None,
+    )
+
+
+def test_golden_record_longest_tie_and_validation(spark):
+    from linkorgs_software_spark.operators.cluster import golden_record
+
+    recs = spark.createDataFrame(
+        [(1, "bb"), (1, "aa"), (1, "c")], "component long, v string"
+    )
+    r = golden_record(recs, {"v": "longest"}).collect()[0]
+    assert r.v == "aa"  # longest tie (bb/aa) -> minimum value
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown golden_record"):
+        golden_record(recs, {"v": "mode"})
+    with _pytest.raises(ValueError, match="cluster_col"):
+        golden_record(recs, {"component": "min"})
