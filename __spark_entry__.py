@@ -1166,6 +1166,23 @@ def _q_incremental_resolve(spark, sf_dir):
     )
 
 
+def _q_tfidf_name_sim(spark, sf_dir):
+    """IDF-weighted token cosine over the standard blocked candidates
+    (``operators/scoring.tfidf_cosine_scores``) — shared rare tokens beat
+    shared boilerplate; the oracle rebuilds corpus idf, unit weights, and
+    the per-pair shared-token dot product relationally (6-dp rounding on
+    both engines absorbs float-sum association order)."""
+    from linkorgs_software_spark.operators.scoring import tfidf_cosine_scores
+
+    xp, yp = _prepared_sides(spark, sf_dir)
+    cands = candidate_pairs(xp, yp, CFG)
+    return tfidf_cosine_scores(cands, xp, yp).select(
+        F.col("name_norm_x").alias("name_x"),
+        F.col("name_norm_y").alias("name_y"),
+        "tfidf_sim",
+    )
+
+
 def _q_golden_record(spark, sf_dir):
     """Multi-field survivorship (``operators/cluster.golden_record``):
     brand-keyed part clusters publish one golden record each — majority
@@ -1567,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_entities": _q_merge_entities,
         "incremental_resolve": _q_incremental_resolve,
         "golden_record": _q_golden_record,
+        "tfidf_name_sim": _q_tfidf_name_sim,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2237,6 +2255,29 @@ select b.component, b.n_members, m.p_type, b.p_retailprice, b.p_size,
 from base b
 left join maj m using (component)
 left join lng l using (component)
+""",
+        "tfidf_name_sim": f"""
+{_BLOCKED_CTE},
+corpus as (select name_x as nm from xs union select name_y from ys),
+nn as (select count(*) as n from corpus),
+tok as (select nm, unnest(string_split(nm, ' ')) as tk from corpus),
+tf as (select nm, tk, count(*) as tf
+       from tok where length(tk) > 0 group by 1, 2),
+idf as (select tk,
+          ln(((select n from nn) + 1.0) / (count(*) + 1.0)) + 1.0 as idf
+        from tf group by tk),
+w as (select tf.nm, tf.tk, tf.tf * idf.idf as w
+      from tf join idf using (tk)),
+l2 as (select nm, sqrt(sum(w * w)) as l2 from w group by 1),
+u as (select w.nm, w.tk, w.w / l2.l2 as u from w join l2 using (nm)),
+sim as (select b.name_x, b.name_y, sum(ux.u * uy.u) as s
+        from blocked b
+        join u ux on ux.nm = b.name_x
+        join u uy on uy.nm = b.name_y and uy.tk = ux.tk
+        group by 1, 2)
+select b.name_x, b.name_y,
+       round(coalesce(s.s, 0.0), 6) as tfidf_sim
+from blocked b left join sim s using (name_x, name_y)
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

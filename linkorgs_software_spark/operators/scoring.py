@@ -133,3 +133,92 @@ def explain_pairs(
             distance_expr(m, "name_norm_x", "name_norm_y", qgram=cfg.qgram),
         )
     return d.drop("_gx", "_gy")
+
+
+def tfidf_cosine_scores(
+    pairs: DataFrame,
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    *,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    min_sim: float | None = None,
+) -> DataFrame:
+    """IDF-weighted token cosine over blocked candidate pairs — the
+    classic TF-IDF name matcher (Cohen-Ravikumar-Fienberg 2003's TFIDF
+    baseline, exact-token variant). Corporate boilerplate ("inc", "llc",
+    "corp") appears in a huge fraction of org names, so edit and set
+    distances over-credit suffix agreement; IDF weighting makes a shared
+    RARE token worth far more than a shared ubiquitous one — the
+    scoring-side counterpart of the blocking df-cap's stop-gram rule
+    (``blocking.apply_df_cap`` drops those grams from CANDIDATE
+    generation; this down-weights them in the SCORE).
+
+    Definitions (all replicated by the DuckDB oracle): the corpus is the
+    DISTINCT normalized names of both sides together (N names); token
+    df = number of distinct names containing the token; idf =
+    ln((N+1)/(df+1)) + 1 (the sklearn smooth convention this repo's
+    ``tfidf_top_terms`` already uses); per-name weights tf·idf,
+    L2-normalized, so ``tfidf_sim`` = Σ shared-token wx·wy ∈ [0, 1]
+    (rounded to 6 dp — float-sum order differs across engines).
+
+    Returns ``(x_id, y_id, name_norm_x, name_norm_y, tfidf_sim)``; pairs
+    sharing NO token score 0.0. ``min_sim`` filters (a SIMILARITY, so >=).
+
+    Scale shape: tokenization and weights are computed per DISTINCT NAME
+    (n rows, never per pair); the pair score is two id-equi-joins — pairs
+    to x token rows, then y token rows on (id, token) — so per-pair work
+    is bounded by shared-token count. No UDFs, no cross products; the
+    idf table is one bounded-vocabulary aggregate.
+    """
+    xn = x_prep.select(F.col(x_id), F.col(NORM_COL).alias("_nx")).dropDuplicates([x_id])
+    yn = y_prep.select(F.col(y_id), F.col(NORM_COL).alias("_ny")).dropDuplicates([y_id])
+    corpus = (
+        xn.select(F.col("_nx").alias("_name"))
+        .unionByName(yn.select(F.col("_ny").alias("_name")))
+        .distinct()
+    )
+    n_names = corpus.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    tok = corpus.select(
+        "_name", F.explode(F.split("_name", " ")).alias("_tok")
+    ).filter(F.length("_tok") > 0)
+    tf = tok.groupBy("_name", "_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    idf = (
+        tf.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_names))
+        .select(
+            "_tok",
+            (F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)).alias("_idf"),
+        )
+    )
+    w = tf.join(idf, "_tok").select(
+        "_name", "_tok", (F.col("_tf") * F.col("_idf")).alias("_w")
+    )
+    norm = w.groupBy("_name").agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_l2"))
+    unit = w.join(norm, "_name").select(
+        "_name", "_tok", (F.col("_w") / F.col("_l2")).alias("_u")
+    )
+    px = pairs.select(x_id, y_id).join(xn, x_id).join(yn, y_id)
+    shared = (
+        px.join(unit.withColumnRenamed("_name", "_nx").withColumnRenamed("_u", "_ux"), ["_nx"])
+        .join(
+            unit.withColumnRenamed("_name", "_ny").withColumnRenamed("_u", "_uy"),
+            ["_ny", "_tok"],
+        )
+        .groupBy(x_id, y_id)
+        .agg(F.sum(F.col("_ux") * F.col("_uy")).alias("_sim"))
+    )
+    out = (
+        px.join(shared, [x_id, y_id], "left")
+        .select(
+            x_id,
+            y_id,
+            F.col("_nx").alias("name_norm_x"),
+            F.col("_ny").alias("name_norm_y"),
+            F.round(F.coalesce(F.col("_sim"), F.lit(0.0)), 6).alias("tfidf_sim"),
+        )
+    )
+    if min_sim is not None:
+        out = out.filter(F.col("tfidf_sim") >= F.lit(float(min_sim)))
+    return out

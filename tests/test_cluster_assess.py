@@ -408,3 +408,38 @@ def test_golden_record_longest_tie_and_validation(spark):
         golden_record(recs, {"v": "mode"})
     with _pytest.raises(ValueError, match="cluster_col"):
         golden_record(recs, {"component": "min"})
+
+
+def test_tfidf_cosine_scores_hand_checked(spark):
+    """IDF-weighted token cosine: identical names score 1.0; suffix-only
+    agreement scores the (low) squared unit weight of the common token;
+    no shared token scores 0.0 — values checked against the closed form."""
+    import math
+
+    from linkorgs_software_spark.operators.scoring import tfidf_cosine_scores
+
+    xp = spark.createDataFrame(
+        [(1, "acme inc"), (2, "zeta inc")], "x_id long, name_norm string"
+    )
+    yp = spark.createDataFrame(
+        [(10, "acme inc"), (11, "beta inc"), (12, "omega co")],
+        "y_id long, name_norm string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "x_id long, y_id long"
+    )
+    out = {
+        (r.x_id, r.y_id): r.tfidf_sim
+        for r in tfidf_cosine_scores(pairs, xp, yp).collect()
+    }
+    # corpus = 4 DISTINCT names ("acme inc" on both sides counts once);
+    # df(inc)=3, df(rare)=1
+    idf_inc = math.log(5.0 / 4.0) + 1.0
+    idf_rare = math.log(5.0 / 2.0) + 1.0
+    u_inc = idf_inc / math.sqrt(idf_rare**2 + idf_inc**2)
+    assert out[(1, 10)] == 1.0  # identical name
+    assert out[(1, 11)] == round(u_inc * u_inc, 6)  # only "inc" shared
+    assert out[(2, 10)] == round(u_inc * u_inc, 6)
+    assert out[(2, 12)] == 0.0  # nothing shared
+    # the suffix-only score is LOW: that's the operator's point
+    assert out[(1, 11)] < 0.35
