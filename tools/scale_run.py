@@ -226,6 +226,26 @@ def q_incremental_resolve(spark, tag):
     return n_ent
 
 
+def q_tfidf_name_sim(spark, tag):
+    """TF-IDF token-cosine scoring over blocked org-name pairs at 1x/10x:
+    idf and unit weights are per-DISTINCT-NAME aggregates and the pair
+    score is shared-token equi-joins, so the ratio should track the
+    blocked-pair volume (df-capped like every name workload here)."""
+    from linkorgs_software_spark import LinkConfig
+    from linkorgs_software_spark.functions.normalize import prepare_side
+    from linkorgs_software_spark.operators.blocking import candidate_pairs
+    from linkorgs_software_spark.operators.scoring import tfidf_cosine_scores
+
+    cfg = LinkConfig(max_block_df=2000)
+    base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet")
+    xp = prepare_side(base.selectExpr("name"), "name", "x_id", cfg)
+    yp = prepare_side(
+        base.selectExpr("name || ' x' as name"), "name", "y_id", cfg
+    )
+    pairs = candidate_pairs(xp, yp, cfg)
+    return tfidf_cosine_scores(pairs, xp, yp).count()
+
+
 def q_directory_merge(spark, tag):
     """merge_entities at 1x/10x: a two-entities-per-name directory (base
     name and its ' x' variant as separate entities) self-linked and
@@ -410,6 +430,7 @@ QUERIES = {
     "incremental_embed_neardup": q_incremental_embed,
     "incremental_resolve": q_incremental_resolve,
     "directory_merge": q_directory_merge,
+    "tfidf_name_sim": q_tfidf_name_sim,
     "link_many_3way": q_link_many,
     "canonicalize_clusters": q_canonicalize,
     "pairwise_scores": q_pairwise,
