@@ -1154,8 +1154,17 @@ def _q_incremental_resolve(spark, sf_dir):
         pass
     shutil.rmtree(out, ignore_errors=True)
     cfg = CFG.with_(distance_measure="dl")
-    resolve_batch(b0, 0, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0)
-    resolve_batch(b1, 1, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0)
+    # 8 history buckets (vs the 64 production default): the correctness
+    # workload is ~100 names, and the bucketed write + MSCK metadata is
+    # this query's fixed cost — bucket count changes nothing semantic
+    resolve_batch(
+        b0, 0, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0,
+        num_history_buckets=8,
+    )
+    resolve_batch(
+        b1, 1, out, cfg=cfg, max_dist=0.5, create_max_dist=3.0,
+        num_history_buckets=8,
+    )
     asg = spark.read.parquet(f"{out}/assignments")
     keys = asg.groupBy("entity_id").agg(F.min(NORM_COL).alias("entity_key"))
     return asg.join(keys, "entity_id").select(
