@@ -393,6 +393,20 @@ def _q_jaccard_scored(spark, sf_dir):
     return _scored_pairs(spark, sf_dir, max_dist=0.5)
 
 
+def _q_triage_pairs(spark, sf_dir):
+    """Fellegi-Sunter three-zone decision over the standard scored pairs
+    (``operators/scoring.triage_pairs``): auto-match ≤ 0.1, clerical
+    review ≤ 0.35, else non-match — the decision layer a production ER
+    pipeline exports ahead of human adjudication."""
+    from linkorgs_software_spark.operators.scoring import triage_pairs
+
+    return triage_pairs(
+        _scored_pairs(spark, sf_dir, max_dist=0.5),
+        match_max=0.1,
+        review_max=0.35,
+    )
+
+
 def _q_scored_dl(spark, sf_dir):
     """Same blocked candidates, scored with the batch-vectorized unrestricted
     Damerau-Levenshtein pandas-UDF kernel — oracled by DuckDB's independent
@@ -1594,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_resolve": _q_incremental_resolve,
         "golden_record": _q_golden_record,
         "tfidf_name_sim": _q_tfidf_name_sim,
+        "triage_pairs": _q_triage_pairs,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2287,6 +2302,14 @@ sim as (select b.name_x, b.name_y, sum(ux.u * uy.u) as s
 select b.name_x, b.name_y,
        round(coalesce(s.s, 0.0), 6) as tfidf_sim
 from blocked b left join sim s using (name_x, name_y)
+""",
+        "triage_pairs": f"""
+with scored as ({_SCORED_SQL})
+select name_x, name_y, stringdist,
+  case when stringdist <= 0.1 then 'match'
+       when stringdist <= 0.35 then 'review'
+       else 'non_match' end as decision
+from scored
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

@@ -222,3 +222,34 @@ def tfidf_cosine_scores(
     if min_sim is not None:
         out = out.filter(F.col("tfidf_sim") >= F.lit(float(min_sim)))
     return out
+
+
+def triage_pairs(
+    scored: DataFrame,
+    *,
+    match_max: float,
+    review_max: float,
+    dist_col: str = DIST_COL,
+) -> DataFrame:
+    """Three-zone decision over scored pairs (the Fellegi-Sunter link /
+    possible-link / non-link partition, distance-thresholded): distance
+    <= ``match_max`` ⇒ ``"match"``; <= ``review_max`` ⇒ ``"review"`` (the
+    clerical-review queue a production ER pipeline exports for humans);
+    else ``"non_match"``. NULL distances (a scorer that could not compare)
+    land in ``"review"`` too — an uncomparable pair is exactly what a
+    human should see, never a silent drop.
+
+    Pure projection (one CASE column appended); thresholds are validated
+    (``match_max <= review_max``) so the zones cannot silently invert."""
+    if match_max > review_max:
+        raise ValueError(
+            f"match_max ({match_max}) must be <= review_max ({review_max})"
+        )
+    d = F.col(dist_col)
+    return scored.withColumn(
+        "decision",
+        F.when(d.isNull(), F.lit("review"))
+        .when(d <= F.lit(float(match_max)), F.lit("match"))
+        .when(d <= F.lit(float(review_max)), F.lit("review"))
+        .otherwise(F.lit("non_match")),
+    )

@@ -443,3 +443,27 @@ def test_tfidf_cosine_scores_hand_checked(spark):
     assert out[(2, 12)] == 0.0  # nothing shared
     # the suffix-only score is LOW: that's the operator's point
     assert out[(1, 11)] < 0.35
+
+
+def test_triage_pairs_zones_and_null_policy(spark):
+    """Fellegi-Sunter three zones: boundaries inclusive toward the safer
+    zone, NULL distance goes to review (never silently dropped), and
+    inverted thresholds raise."""
+    from linkorgs_software_spark.operators.scoring import triage_pairs
+
+    scored = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 0.35), (4, 0.5), (5, 0.9), (6, None)],
+        "pid long, stringdist double",
+    )
+    out = {
+        r.pid: r.decision
+        for r in triage_pairs(scored, match_max=0.2, review_max=0.5).collect()
+    }
+    assert out == {
+        1: "match", 2: "match", 3: "review", 4: "review",
+        5: "non_match", 6: "review",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="match_max"):
+        triage_pairs(scored, match_max=0.6, review_max=0.5)
