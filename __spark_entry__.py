@@ -393,6 +393,31 @@ def _q_jaccard_scored(spark, sf_dir):
     return _scored_pairs(spark, sf_dir, max_dist=0.5)
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over the x side's distinct normalized
+    names (``operators/blocking.sorted_neighborhood_pairs``, window 5).
+    The distributed rank (prefix buckets + tiny offset window) must equal
+    the naive global ``row_number`` the oracle runs — position values,
+    not just pair sets, are hash-checked."""
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    xp, _ = _prepared_sides(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(xp, id_col="x_id", window=5)
+    names = xp.select("x_id", NORM_COL).dropDuplicates(["x_id"])
+    return (
+        pairs.join(names.select(F.col("x_id"), F.col(NORM_COL).alias("name_a")), "x_id")
+        .join(
+            names.select(
+                F.col("x_id").alias("y_id"), F.col(NORM_COL).alias("name_b")
+            ),
+            "y_id",
+        )
+        .select("name_a", "name_b", "pos_x", "pos_y")
+    )
+
+
 def _q_triage_pairs(spark, sf_dir):
     """Fellegi-Sunter three-zone decision over the standard scored pairs
     (``operators/scoring.triage_pairs``): auto-match ≤ 0.1, clerical
@@ -1609,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": _q_golden_record,
         "tfidf_name_sim": _q_tfidf_name_sim,
         "triage_pairs": _q_triage_pairs,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2310,6 +2336,13 @@ select name_x, name_y, stringdist,
        when stringdist <= 0.35 then 'review'
        else 'non_match' end as decision
 from scored
+""",
+        "sorted_neighborhood": f"""
+with {_XY_SQL},
+p as (select name_x, row_number() over (order by name_x) as pos from xs)
+select a.name_x as name_a, b.name_x as name_b,
+       a.pos::bigint as pos_x, b.pos::bigint as pos_y
+from p a join p b on b.pos > a.pos and b.pos - a.pos < 5
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,

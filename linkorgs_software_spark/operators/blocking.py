@@ -177,3 +177,74 @@ def candidate_pairs(
             >= F.ceil(F.lit(float(cfg.min_shared_frac)) * F.col("n_grams_x"))
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    prep: DataFrame,
+    *,
+    id_col: str = "x_id",
+    window: int = 5,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate pairs — the OTHER classic
+    blocking family (Hernandez-Stolfo 1995): sort the records by key and
+    pair every record with its ``window - 1`` successors. Complements the
+    trigram join: SNM catches near-names that share a sort-key PREFIX but
+    few grams, costs exactly ``n * (window-1)`` pairs, and its recall
+    knob (window width) is independent of token statistics.
+
+    Returns ``(x_id, y_id, pos_x, pos_y)`` with ``pos_y - pos_x`` in
+    ``[1, window)`` over the global sort positions of the DISTINCT
+    normalized names (key = ``name_norm``, total order tie-broken by id).
+
+    Scale shape — the global rank WITHOUT a single-partition window
+    (the same distributed-prefix-sum idiom as ``corpus.pack_chunks``):
+    records bucket by their ``prefix_len``-char key prefix (prefix blocks
+    are CONTIGUOUS in sort order), per-bucket ``row_number`` runs
+    bucket-parallel, and the only global window orders the tiny
+    per-bucket count frame (|buckets| rows, broadcast back). Pairing is
+    an equi-join on position bands (each record probes its own band and
+    the next — never an OR/theta join). A pathologically hot prefix
+    (every name starting "aa") skews one bucket's window; deepen
+    ``prefix_len`` the way you would tighten ``max_block_df``.
+    """
+    if window < 2:
+        raise ValueError("sorted_neighborhood_pairs needs window >= 2")
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    from pyspark.sql import Window
+
+    base = prep.select(
+        F.col(id_col).alias("_sid"), F.col(NORM_COL).alias("_k")
+    ).dropDuplicates(["_sid"])
+    d = base.withColumn("_bk", F.substring("_k", 1, prefix_len))
+    btot = d.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bt"))
+    wb = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bk",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long").alias("_boff"),
+    )
+    wi = Window.partitionBy("_bk").orderBy("_k", "_sid")
+    pos = (
+        d.join(F.broadcast(boff), "_bk")
+        .withColumn("_pos", (F.col("_boff") + F.row_number().over(wi)).cast("long"))
+        .withColumn("_g", F.floor((F.col("_pos") - 1) / F.lit(int(window))))
+    )
+    probe = pos.select(
+        F.col("_sid").alias("x_id"),
+        F.col("_pos").alias("pos_x"),
+        F.explode(F.array(F.col("_g"), F.col("_g") + 1)).alias("_gj"),
+    )
+    build = pos.select(
+        F.col("_sid").alias("y_id"),
+        F.col("_pos").alias("pos_y"),
+        F.col("_g").alias("_gj"),
+    )
+    return (
+        probe.join(build, "_gj")
+        .filter(
+            (F.col("pos_y") > F.col("pos_x"))
+            & (F.col("pos_y") - F.col("pos_x") < F.lit(int(window)))
+        )
+        .select("x_id", "y_id", "pos_x", "pos_y")
+    )

@@ -222,3 +222,33 @@ def test_induced_stop_grams_auto_cap_uses_recommended_rule(spark):
     df = spark.createDataFrame([(f"name {i}",) for i in range(20)], "name string")
     prep = prepare_side(df, "name", "rec_id", cfg)
     assert induced_stop_grams(prep, "rec_id", cfg).count() == 0
+
+
+def test_sorted_neighborhood_pairs_window_and_bucket_boundaries(spark):
+    """SNM pairs = every record with its window-1 successors in global
+    key order — INCLUDING pairs whose members land in different prefix
+    buckets (the banding is by global position, not by bucket)."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    names = ["aa corp", "ab corp", "ba corp", "bb corp", "ca corp"]
+    prep = spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(names)], "x_id long, name_norm string"
+    )
+    out = sorted_neighborhood_pairs(prep, window=3).collect()
+    got = {(r.pos_x, r.pos_y) for r in out}
+    # window=3: all (i, j) with 1 <= j - i <= 2 over 5 positions
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    # positions follow global name order; cross-prefix pairs exist
+    by_pos = {r.pos_x: r.x_id for r in out}
+    assert by_pos[1] == 1 and by_pos[2] == 2  # "aa..." then "ab..."
+    ids = {(r.x_id, r.y_id) for r in out}
+    assert (2, 3) in ids  # "ab corp" (bucket ab) x "ba corp" (bucket ba)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(prep, window=1)

@@ -308,3 +308,41 @@ def test_repetition_profile_counts_not_lambdas(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Generate explode") == 2  # tokens once, bigrams once
     assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_rank_is_distributed(spark):
+    """The SNM global rank must not be a naive global-window row_number:
+    the only SinglePartition exchange feeds the tiny per-prefix count
+    window (broadcast back), the record-side window is hash-partitioned
+    by the prefix bucket, and pairing is an equi-join (no cartesian /
+    range theta join). No Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    prep = part.select(
+        F.col("p_partkey").cast("long").alias("x_id"),
+        F.lower(F.col("p_name")).alias("name_norm"),
+    )
+    plan = _plan(sorted_neighborhood_pairs(prep, window=5))
+    # the pair self-join references the position frame twice, so the tiny
+    # bucket-count subtree prints twice (identical exchanges dedupe at
+    # execution via spark.sql.exchange.reuse); what matters is that BOTH
+    # SinglePartition exchanges sit above the |buckets|-row aggregate,
+    # never above the record frame
+    assert plan.count("Exchange SinglePartition") == 2
+    assert plan.count("HashAggregate(keys=[_bk") >= 2  # per-prefix counts
+    # record-side rank window is PARTITIONED by the prefix bucket (the
+    # partition column precedes the ASC order columns)...
+    assert re.search(r"windowspecdefinition\(_bk#\d+, _k#\d+ ASC", plan)
+    # ...and the only globally-ordered windows are the bucket-offset ones
+    global_specs = re.findall(r"windowspecdefinition\(_bk#\d+ ASC", plan)
+    all_specs = re.findall(r"windowspecdefinition\(", plan)
+    partitioned = re.findall(r"windowspecdefinition\(_bk#\d+, _k#\d+ ASC", plan)
+    assert len(all_specs) == len(global_specs) + len(partitioned)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
