@@ -246,6 +246,24 @@ def q_tfidf_name_sim(spark, tag):
     return tfidf_cosine_scores(pairs, xp, yp).count()
 
 
+def q_snm_pairs(spark, tag):
+    """Sorted-neighborhood blocking at 1x/10x: the distributed global
+    rank (prefix buckets + tiny offset window) and band equi-join emit
+    exactly n*(window-1) - window*(window-1)/2 pairs; time should track
+    the two bucket-partitioned windows, i.e. ~linear."""
+    from pyspark.sql import functions as F
+
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    base = spark.read.parquet(f"{SCALE}/names_{tag}.parquet")
+    prep = base.select(
+        F.xxhash64("name").alias("x_id"), F.col("name").alias("name_norm")
+    )
+    return sorted_neighborhood_pairs(prep, window=5).count()
+
+
 def q_directory_merge(spark, tag):
     """merge_entities at 1x/10x: a two-entities-per-name directory (base
     name and its ' x' variant as separate entities) self-linked and
@@ -431,6 +449,7 @@ QUERIES = {
     "incremental_resolve": q_incremental_resolve,
     "directory_merge": q_directory_merge,
     "tfidf_name_sim": q_tfidf_name_sim,
+    "snm_pairs": q_snm_pairs,
     "link_many_3way": q_link_many,
     "canonicalize_clusters": q_canonicalize,
     "pairwise_scores": q_pairwise,
