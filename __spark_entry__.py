@@ -418,6 +418,31 @@ def _q_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def _q_snm_link(spark, sf_dir):
+    """The SNM composition end to end: sorted-neighborhood pairs → the
+    standard q-gram jaccard scorer → Fellegi-Sunter triage zones, value-
+    hash-checked as ONE unit (the second-blocking-family counterpart of
+    the trigram path's `link_fuzzy_full`-style compositions)."""
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from linkorgs_software_spark.operators.scoring import (
+        score_pairs,
+        triage_pairs,
+    )
+
+    xp, _ = _prepared_sides(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(xp, id_col="x_id", window=5)
+    yp = xp.select(F.col("x_id").alias("y_id"), NORM_COL)
+    scored = score_pairs(pairs, xp, yp, CFG, x_id="x_id", y_id="y_id")
+    return triage_pairs(scored, match_max=0.1, review_max=0.35).select(
+        F.col("name_norm_x").alias("name_a"),
+        F.col("name_norm_y").alias("name_b"),
+        "stringdist",
+        "decision",
+    )
+
+
 def _q_triage_pairs(spark, sf_dir):
     """Fellegi-Sunter three-zone decision over the standard scored pairs
     (``operators/scoring.triage_pairs``): auto-match ≤ 0.1, clerical
@@ -1635,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_name_sim": _q_tfidf_name_sim,
         "triage_pairs": _q_triage_pairs,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "snm_link": _q_snm_link,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
         # op; simhash_pairs covers the signature expr; lineitem_agg is the
@@ -2343,6 +2369,22 @@ p as (select name_x, row_number() over (order by name_x) as pos from xs)
 select a.name_x as name_a, b.name_x as name_b,
        a.pos::bigint as pos_x, b.pos::bigint as pos_y
 from p a join p b on b.pos > a.pos and b.pos - a.pos < 5
+""",
+        "snm_link": f"""
+with {_XY_SQL},
+p as (select name_x, row_number() over (order by name_x) as pos from xs),
+prs as (select a.name_x as name_a, b.name_x as name_b
+        from p a join p b on b.pos > a.pos and b.pos - a.pos < 5),
+sc as (select name_a, name_b,
+  1.0 - len(list_intersect({_bigram_sql('name_a')}, {_bigram_sql('name_b')}))::double
+      / len(list_distinct(list_concat({_bigram_sql('name_a')}, {_bigram_sql('name_b')})))::double
+    as stringdist
+  from prs)
+select name_a, name_b, stringdist,
+  case when stringdist <= 0.1 then 'match'
+       when stringdist <= 0.35 then 'review'
+       else 'non_match' end as decision
+from sc
 """,
         "tumbling_window": """
 select floor(epoch(ts) / 600.0)::bigint as win, event_type,
