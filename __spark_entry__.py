@@ -418,6 +418,26 @@ def _q_sorted_neighborhood(spark, sf_dir):
     )
 
 
+def _q_snm_two_sided(spark, sf_dir):
+    """Two-sided SNM (the classic linkage form): x and y names interleave
+    into ONE sort order (ties: x side first) and only cross-side pairs
+    within the window emit, oriented x first — positions hash-checked
+    against the naive interleaved row_number."""
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    xp, yp = _prepared_sides(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(xp, yp, window=5)
+    xnames = xp.select("x_id", F.col(NORM_COL).alias("name_a")).dropDuplicates(["x_id"])
+    ynames = yp.select("y_id", F.col(NORM_COL).alias("name_b")).dropDuplicates(["y_id"])
+    return (
+        pairs.join(xnames, "x_id")
+        .join(ynames, "y_id")
+        .select("name_a", "name_b", "pos_x", "pos_y")
+    )
+
+
 def _q_snm_link(spark, sf_dir):
     """The SNM composition end to end: sorted-neighborhood pairs → the
     standard q-gram jaccard scorer → Fellegi-Sunter triage zones, value-
@@ -1660,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_name_sim": _q_tfidf_name_sim,
         "triage_pairs": _q_triage_pairs,
         "sorted_neighborhood": _q_sorted_neighborhood,
+        "snm_pairs_xy": _q_snm_two_sided,
         "snm_link": _q_snm_link,
         # ---- tail: component/variant queries of operators already oracled
         # in canonical form above (minhash_lsh_pairs covers the signature
@@ -2369,6 +2390,21 @@ p as (select name_x, row_number() over (order by name_x) as pos from xs)
 select a.name_x as name_a, b.name_x as name_b,
        a.pos::bigint as pos_x, b.pos::bigint as pos_y
 from p a join p b on b.pos > a.pos and b.pos - a.pos < 5
+""",
+        "snm_pairs_xy": f"""
+with {_XY_SQL},
+u as (select name_x as nm, 0 as side from xs
+      union all select name_y, 1 from ys),
+p as (select nm, side, row_number() over (order by nm, side) as pos from u),
+c as (select a.nm as nm_a, a.side as side_a, a.pos as pos_a,
+             b.nm as nm_b, b.pos as pos_b
+      from p a join p b on b.pos > a.pos and b.pos - a.pos < 5
+                       and a.side != b.side)
+select case when side_a = 1 then nm_b else nm_a end as name_a,
+       case when side_a = 1 then nm_a else nm_b end as name_b,
+       (case when side_a = 1 then pos_b else pos_a end)::bigint as pos_x,
+       (case when side_a = 1 then pos_a else pos_b end)::bigint as pos_y
+from c
 """,
         "snm_link": f"""
 with {_XY_SQL},

@@ -181,8 +181,10 @@ def candidate_pairs(
 
 def sorted_neighborhood_pairs(
     prep: DataFrame,
+    y_prep: DataFrame | None = None,
     *,
     id_col: str = "x_id",
+    y_id_col: str = "y_id",
     window: int = 5,
     prefix_len: int = 2,
 ) -> DataFrame:
@@ -190,12 +192,20 @@ def sorted_neighborhood_pairs(
     blocking family (Hernandez-Stolfo 1995): sort the records by key and
     pair every record with its ``window - 1`` successors. Complements the
     trigram join: SNM catches near-names that share a sort-key PREFIX but
-    few grams, costs exactly ``n * (window-1)`` pairs, and its recall
+    few grams, costs at most ``n * (window-1)`` pairs, and its recall
     knob (window width) is independent of token statistics.
 
-    Returns ``(x_id, y_id, pos_x, pos_y)`` with ``pos_y - pos_x`` in
-    ``[1, window)`` over the global sort positions of the DISTINCT
-    normalized names (key = ``name_norm``, total order tie-broken by id).
+    One-sided (``y_prep=None``): self-pairs over ``prep``'s distinct
+    normalized names. Two-sided (the classic linkage form): both sides
+    INTERLEAVE into one sort order — ties on equal names break x-side
+    first — and only CROSS-side pairs within the window are emitted, so
+    an x name and a near-identical y name pair even when many same-side
+    names sit between them... up to the window, as SNM semantics demand.
+
+    Returns ``(x_id, y_id, pos_x, pos_y)`` with ``|pos_y - pos_x|`` in
+    ``[1, window)`` over the global sort positions (one-sided output is
+    oriented ``pos_x < pos_y``; two-sided output puts the x-side record
+    first regardless of position order).
 
     Scale shape — the global rank WITHOUT a single-partition window
     (the same distributed-prefix-sum idiom as ``corpus.pack_chunks``):
@@ -214,9 +224,19 @@ def sorted_neighborhood_pairs(
         raise ValueError("prefix_len must be >= 1")
     from pyspark.sql import Window
 
-    base = prep.select(
-        F.col(id_col).alias("_sid"), F.col(NORM_COL).alias("_k")
-    ).dropDuplicates(["_sid"])
+    base = (
+        prep.select(F.col(id_col).alias("_sid"), F.col(NORM_COL).alias("_k"))
+        .dropDuplicates(["_sid"])
+        .withColumn("_side", F.lit(0))
+    )
+    if y_prep is not None:
+        base = base.unionByName(
+            y_prep.select(
+                F.col(y_id_col).alias("_sid"), F.col(NORM_COL).alias("_k")
+            )
+            .dropDuplicates(["_sid"])
+            .withColumn("_side", F.lit(1))
+        )
     d = base.withColumn("_bk", F.substring("_k", 1, prefix_len))
     btot = d.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bt"))
     wb = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
@@ -224,27 +244,40 @@ def sorted_neighborhood_pairs(
         "_bk",
         F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long").alias("_boff"),
     )
-    wi = Window.partitionBy("_bk").orderBy("_k", "_sid")
+    wi = Window.partitionBy("_bk").orderBy("_k", "_side", "_sid")
     pos = (
         d.join(F.broadcast(boff), "_bk")
         .withColumn("_pos", (F.col("_boff") + F.row_number().over(wi)).cast("long"))
         .withColumn("_g", F.floor((F.col("_pos") - 1) / F.lit(int(window))))
     )
     probe = pos.select(
-        F.col("_sid").alias("x_id"),
-        F.col("_pos").alias("pos_x"),
+        F.col("_sid").alias("_id_a"),
+        F.col("_side").alias("_side_a"),
+        F.col("_pos").alias("_pos_a"),
         F.explode(F.array(F.col("_g"), F.col("_g") + 1)).alias("_gj"),
     )
     build = pos.select(
-        F.col("_sid").alias("y_id"),
-        F.col("_pos").alias("pos_y"),
+        F.col("_sid").alias("_id_b"),
+        F.col("_side").alias("_side_b"),
+        F.col("_pos").alias("_pos_b"),
         F.col("_g").alias("_gj"),
     )
-    return (
-        probe.join(build, "_gj")
-        .filter(
-            (F.col("pos_y") > F.col("pos_x"))
-            & (F.col("pos_y") - F.col("pos_x") < F.lit(int(window)))
+    cand = probe.join(build, "_gj").filter(
+        (F.col("_pos_b") > F.col("_pos_a"))
+        & (F.col("_pos_b") - F.col("_pos_a") < F.lit(int(window)))
+    )
+    if y_prep is None:
+        return cand.select(
+            F.col("_id_a").alias(id_col),
+            F.col("_id_b").alias(y_id_col),
+            F.col("_pos_a").alias("pos_x"),
+            F.col("_pos_b").alias("pos_y"),
         )
-        .select("x_id", "y_id", "pos_x", "pos_y")
+    # cross-side only, oriented x-side first whatever the position order
+    flip = F.col("_side_a") == 1
+    return cand.filter(F.col("_side_a") != F.col("_side_b")).select(
+        F.when(flip, F.col("_id_b")).otherwise(F.col("_id_a")).alias(id_col),
+        F.when(flip, F.col("_id_a")).otherwise(F.col("_id_b")).alias(y_id_col),
+        F.when(flip, F.col("_pos_b")).otherwise(F.col("_pos_a")).alias("pos_x"),
+        F.when(flip, F.col("_pos_a")).otherwise(F.col("_pos_b")).alias("pos_y"),
     )

@@ -252,3 +252,33 @@ def test_sorted_neighborhood_pairs_window_and_bucket_boundaries(spark):
 
     with _pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(prep, window=1)
+
+
+def test_sorted_neighborhood_two_sided_cross_pairs_only(spark):
+    """Two-sided SNM: both sides interleave into one sort order (equal
+    names tie x-side first), only cross-side pairs within the window
+    emit, and output is oriented x-side first even when the y record
+    sorts earlier."""
+    from linkorgs_software_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    xp = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zz unrelated")], "x_id long, name_norm string"
+    )
+    yp = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme corpx"), (12, "mm middle")],
+        "y_id long, name_norm string",
+    )
+    out = sorted_neighborhood_pairs(xp, yp, window=3).collect()
+    got = {(r.x_id, r.y_id) for r in out}
+    # positions: 1="acme corp"(x), 2="acme corp"(y), 3="acme corpx"(y),
+    #            4="mm middle"(y), 5="zz unrelated"(x)
+    # window=3 cross pairs (|delta| <= 2, sides differ):
+    # (1,2) (1,3) -> x=1; (3,5) (4,5) -> x-side is pos 5
+    assert got == {(1, 10), (1, 11), (2, 11), (2, 12)}
+    rows = {(r.x_id, r.y_id): (r.pos_x, r.pos_y) for r in out}
+    assert rows[(1, 10)] == (1, 2)  # x-side ties first on the equal name
+    assert rows[(2, 12)] == (5, 4)  # oriented x first though y sorts earlier
+    # every pair is cross-side by construction: no (x,x) or (y,y) ids
+    assert all(x in (1, 2) and y in (10, 11, 12) for x, y in got)
