@@ -109,17 +109,19 @@ def explode_qgrams(
     (``BuildHelpers.R:190-205``: full q-gram windows at starts
     1..min(len−q+1, 100) plus only the position-1 short window for
     strings shorter than q); here it is an ``explode`` over a native array
-    expression (no UDTF). Distinct (id, gram) because our blocking counts
-    *shared distinct grams* — see operators/blocking.py.
+    expression (no UDTF). The output is distinct per (id, gram) — which is
+    what blocking's *shared distinct grams* count requires — WITHOUT a
+    dedup aggregation: ``qgram_set_expr`` is ``array_distinct`` per row, so
+    each input row's exploded grams are already unique, and callers feed
+    one row per id (``blocking.gram_index`` dedups ids first). A
+    ``dropDuplicates([id, gram])`` here would be a no-op that still costs
+    a full hash aggregation over the exploded index on every build.
     """
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                qgram_set_expr(
-                    name_col, q, prefix_cap=prefix_cap, full_only=False, tails=False
-                )
-            ).alias(out_col),
-        )
-        .dropDuplicates([id_col, out_col])
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            qgram_set_expr(
+                name_col, q, prefix_cap=prefix_cap, full_only=False, tails=False
+            )
+        ).alias(out_col),
     )

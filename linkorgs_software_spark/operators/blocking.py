@@ -37,8 +37,19 @@ SHARED_COL = "shared_grams"
 
 
 def gram_index(df: DataFrame, id_col: str, cfg: LinkConfig) -> DataFrame:
-    """Distinct ``(id, gram)`` inverted index for one side."""
-    uniq = df.select(id_col, NORM_COL).dropDuplicates([id_col])
+    """Distinct ``(id, gram)`` inverted index for one side.
+
+    The per-id dedup is a ``groupBy(id).agg(min(name_norm))``, not
+    ``dropDuplicates([id])``: the id IS ``xxhash64(name_norm)``
+    (``normalize.record_id_expr``), so every row of an id carries the same
+    name and ``min`` ≡ ``first`` — but ``min`` compiles to a pure
+    HashAggregate while ``first()`` forces a SortAggregate with a Sort on
+    BOTH sides of the dedup exchange (measured in the round-7 plan
+    captures), and the hash-partitioning on ``id`` it establishes is
+    reused Exchange-free by the ``n_grams`` denominator aggregate."""
+    uniq = df.select(id_col, NORM_COL).groupBy(id_col).agg(
+        F.min(NORM_COL).alias(NORM_COL)
+    )
     return explode_qgrams(
         uniq, NORM_COL, id_col, cfg.block_ngram, prefix_cap=cfg.name_prefix_cap
     )
@@ -56,15 +67,27 @@ def apply_df_cap(
     *any* key-equality pair generation.
 
     ``gram_col`` may be one column name or a list of them — a composite key
-    (e.g. LSH ``(table_id, bucket)``) counts and semi-joins on all columns
+    (e.g. LSH ``(table_id, bucket)``) counts and anti-joins on all columns
     directly, so call sites never materialize a throwaway concatenated key.
+
+    The broadcast side is the OVER-cap key list (``_df > cap``), removed
+    with a ``left_anti`` join — never the keep-list. The over-cap set is
+    small BY CONSTRUCTION at any scale: each over-cap key owns > ``cap``
+    index rows, so there can be at most ``n_rows / cap`` of them. The
+    keep-list has no such bound — for bucket-type keys (MinHash bands,
+    embedding-LSH ``(table_id, bucket)``) distinct-key count grows
+    linearly with corpus size (most buckets are singletons), and
+    broadcasting it at 10^11 rows is a driver OOM, not a slowdown. Set
+    algebra makes the two forms output-identical: dropping rows whose key
+    is over cap ≡ keeping rows whose key is at-or-under cap (every index
+    row's key is in exactly one of the two lists). A further AQE bonus of
+    the anti form: when NO key exceeds the cap the broadcast side is
+    empty and AQE eliminates the join outright.
     """
     cols = [gram_col] if isinstance(gram_col, str) else list(gram_col)
     counts = index.groupBy(*cols).agg(F.count(F.lit(1)).alias("_df"))
-    keep = counts.filter(F.col("_df") <= cap).select(*cols)
-    # keep-list is small by construction (it is the *capped* vocabulary);
-    # left_semi keeps the index lean before the big join.
-    return index.join(F.broadcast(keep), cols, "left_semi")
+    over = counts.filter(F.col("_df") > cap).select(*cols)
+    return index.join(F.broadcast(over), cols, "left_anti")
 
 
 def recommended_block_df(n_rows: int, *, frac: float = 0.1, lo: int = 500) -> int:

@@ -434,7 +434,15 @@ def ngram_jaccard_dups(
         )
     )
     dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
-    idx = idx.join(F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")), "s", "left_semi")
+    # broadcast the OVER-cap shingles (bounded by n_rows/cap keys) and
+    # anti-join — the keep-list is the shingle VOCABULARY, linear in corpus
+    # size, and broadcasting it is a driver OOM at scale (apply_df_cap's
+    # rationale; output-identical by set algebra)
+    idx = idx.join(
+        F.broadcast(dfreq.filter(F.col("_df") > max_block_df).select("s")),
+        "s",
+        "left_anti",
+    )
     cand = (
         idx.alias("a")
         .join(idx.alias("b"), "s")
@@ -493,10 +501,12 @@ def containment_pairs(
         )
     )
     dfreq = idx.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    # over-cap anti-join, not keep-list semi-join — see ngram_dup_pairs /
+    # apply_df_cap: the keep side is the (corpus-linear) vocabulary
     idx = idx.join(
-        F.broadcast(dfreq.filter(F.col("_df") <= max_block_df).select("s")),
+        F.broadcast(dfreq.filter(F.col("_df") > max_block_df).select("s")),
         "s",
-        "left_semi",
+        "left_anti",
     )
     cand = (
         idx.alias("a")

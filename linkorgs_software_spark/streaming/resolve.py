@@ -160,6 +160,37 @@ def _resolve_batch_inner(
     )
     tri = register_cache(gram_index(names, "_nid", cfg).persist())
     ntri = tri.groupBy("_nid").agg(F.count(F.lit(1)).alias("_n_grams"))
+    # One cheap count on the cached distinct-name frame buys two plan
+    # prunings per batch: a gram's posting list in `tri` (distinct per
+    # name) is bounded by the batch's distinct-name count, so when
+    # n_names <= max_block_df the batch-side df-caps are PROVABLY no-ops
+    # and their aggregate + broadcast + anti-join subtrees are skipped
+    # outright (the history side still caps — its posting lists track
+    # directory lifetime). Same guard idiom as neardup_batch's
+    # n_banded check.
+    n_names = names.count()
+    batch_cap_bites = (
+        cfg.max_block_df is not None and n_names > cfg.max_block_df
+    )
+    # Jaccard verify/create scoring joins PRE-COMPUTED per-name q-gram
+    # sets and sizes (one set build per distinct name) instead of
+    # rebuilding both sets inside every candidate-pair row — the same
+    # once-per-name trick as operators.scoring.score_pairs, with
+    # bit-identical distance arithmetic (jaccard_dist_from_sizes_expr).
+    # Round-7 profiling: batch 0 of the bench workload scores ~5e5
+    # create-path candidate pairs, and the per-pair double set build was
+    # the largest single CPU sink of the whole query.
+    use_jac = cfg.distance_measure == "jaccard"
+    if use_jac:
+        from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
+
+        names_g = register_cache(
+            names.select(
+                "_nid", qgram_set_expr(NORM_COL, cfg.qgram).alias("_gset")
+            )
+            .withColumn("_gsz", F.size("_gset"))
+            .persist()
+        )
 
     # ---- 2. MATCH against the prior directory -------------------------
     prior_grams = read_prior_history(spark, grams_tbl, grams_dir, batch_id)
@@ -168,8 +199,9 @@ def _resolve_batch_inner(
     if prior_grams is not None and prior_ent_paths:
         btri = tri
         old = prior_grams.select("gram", "alias_id")
-        if cfg.max_block_df is not None:
+        if batch_cap_bites:
             btri = apply_df_cap(btri, "gram", cfg.max_block_df)
+        if cfg.max_block_df is not None:
             old = apply_df_cap(old, "gram", cfg.max_block_df)
         shared = (
             btri.join(old, "gram")
@@ -183,17 +215,33 @@ def _resolve_batch_inner(
         aliases = spark.read.parquet(*prior_ent_paths).select(
             "alias_id", "entity_id", F.col(NORM_COL).alias("_alias_norm")
         )
-        verified = (
-            cand.join(aliases, "alias_id")
-            .join(names, "_nid")
-            .withColumn(
-                "_dist",
-                distance_expr(
-                    cfg.distance_measure, NORM_COL, "_alias_norm", qgram=cfg.qgram
-                ),
+        if use_jac:
+            # per-alias set computed below the join (once per directory
+            # alias row), per-name set joined from the cached names_g
+            aliases = aliases.select(
+                "alias_id",
+                "entity_id",
+                qgram_set_expr("_alias_norm", cfg.qgram).alias("_aset"),
+            ).withColumn("_asz", F.size("_aset"))
+            dist = jaccard_dist_from_sizes_expr("_gset", "_aset", "_gsz", "_asz")
+            verified = (
+                cand.join(aliases, "alias_id")
+                .join(names_g, "_nid")
+                .withColumn("_dist", dist)
+                .filter(F.col("_dist") <= F.lit(float(max_dist)))
             )
-            .filter(F.col("_dist") <= F.lit(float(max_dist)))
-        )
+        else:
+            verified = (
+                cand.join(aliases, "alias_id")
+                .join(names, "_nid")
+                .withColumn(
+                    "_dist",
+                    distance_expr(
+                        cfg.distance_measure, NORM_COL, "_alias_norm", qgram=cfg.qgram
+                    ),
+                )
+                .filter(F.col("_dist") <= F.lit(float(max_dist)))
+            )
         matched = register_cache(
             verified.groupBy("_nid")
             .agg(
@@ -219,7 +267,7 @@ def _resolve_batch_inner(
     # >= ceil(min_shared_frac * |grams(x)|) rule with the PRE-cap
     # denominator (monotone-under-capping contract, blocking.py).
     utri = tri.join(unmatched.select("_nid"), "_nid", "left_semi")
-    if cfg.max_block_df is not None:
+    if batch_cap_bites:  # utri ⊆ tri, so the same n_names bound applies
         utri = apply_df_cap(utri, "gram", cfg.max_block_df)
     cand_new = (
         utri.select(F.col("_nid").alias("x_id"), "gram")
@@ -238,21 +286,55 @@ def _resolve_batch_inner(
     # persist BEFORE the threshold filter (the pushdown-into-join guard
     # score_pairs applies, here registry-tracked so scoped_caches releases
     # it at batch end instead of pinning one frame per micro-batch)
-    scored = register_cache(
-        cand_new.join(
-            names.select(F.col("_nid").alias("x_id"), F.col(NORM_COL).alias("_nx")),
-            "x_id",
+    if use_jac:
+        # project the pair down to (ids, stringdist) BEFORE the persist:
+        # the joined-in gram-set arrays exist only to feed the distance
+        # expression, and caching array<string> columns for every
+        # candidate pair is slower than the scoring they save (nested
+        # types defeat the columnar cache) — measured as a 2x regression
+        # of the whole query before this select was added
+        scored = register_cache(
+            cand_new.join(
+                names_g.select(
+                    F.col("_nid").alias("x_id"),
+                    F.col("_gset").alias("_gx"),
+                    F.col("_gsz").alias("_nx"),
+                ),
+                "x_id",
+            )
+            .join(
+                names_g.select(
+                    F.col("_nid").alias("y_id"),
+                    F.col("_gset").alias("_gy"),
+                    F.col("_gsz").alias("_ny"),
+                ),
+                "y_id",
+            )
+            .select(
+                "x_id",
+                "y_id",
+                jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny").alias(
+                    "stringdist"
+                ),
+            )
+            .persist()
         )
-        .join(
-            names.select(F.col("_nid").alias("y_id"), F.col(NORM_COL).alias("_ny")),
-            "y_id",
+    else:
+        scored = register_cache(
+            cand_new.join(
+                names.select(F.col("_nid").alias("x_id"), F.col(NORM_COL).alias("_nx")),
+                "x_id",
+            )
+            .join(
+                names.select(F.col("_nid").alias("y_id"), F.col(NORM_COL).alias("_ny")),
+                "y_id",
+            )
+            .withColumn(
+                "stringdist",
+                distance_expr(cfg.distance_measure, "_nx", "_ny", qgram=cfg.qgram),
+            )
+            .persist()
         )
-        .withColumn(
-            "stringdist",
-            distance_expr(cfg.distance_measure, "_nx", "_ny", qgram=cfg.qgram),
-        )
-        .persist()
-    )
     edges = register_cache(
         scored.filter(F.col("stringdist") <= F.lit(float(create_max_dist)))
         .select(F.col("x_id").alias("src"), F.col("y_id").alias("dst"))
