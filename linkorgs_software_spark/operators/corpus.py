@@ -29,6 +29,36 @@ from ..functions.text import word_shingles_expr
 from .blocking import apply_df_cap
 
 
+def _spread_small_input(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition ``df`` to the session's default parallelism WHEN its
+    optimizer-estimated size is too small to scan at full parallelism.
+
+    The hash-heavy text kernels (16 md5 evaluations per shingle for
+    MinHash, per-token md5 for SimHash, the shingle-array builds of every
+    verify side) execute inside the SCAN stage, whose task count is the
+    input's split count. A corpus small enough to fit one 128 MB split —
+    every local bench table, any small partition of a big job — therefore
+    runs those kernels on ONE core (round-7 profile: two single-task
+    stages carried 14 s of minhash_lsh_dups' 13 s wall). The guard is
+    scale-adaptive, not a local constant: the repartition fires only when
+    the estimated input is under ``parallelism x 32 MB`` (i.e. the scan
+    would have fewer than ~parallelism/4 splits), so at real corpus sizes
+    it is a provable no-op and no extra full-corpus shuffle ever happens.
+    Keyed on the doc id (unique ⇒ uniform), not round-robin, so no
+    pre-repartition sort is paid and retries stay deterministic.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return df
+    if size <= 0 or size >= par * 32 * 1024 * 1024:
+        return df
+    return df.repartition(par, F.col(key_col))
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dup_group, group_size, keep) — keep = smallest id per group.
 
@@ -166,6 +196,7 @@ def duplicated_span_runs(
     """
     from ..functions.text import tokens_expr
 
+    df = _spread_small_input(df, id_col)
     toks = tokens_expr(F.lower(F.col(text_col)))
     n = F.size(toks)
     spans_expr = F.when(
@@ -244,6 +275,9 @@ def dedup_passages(
     """
     from ..functions.text import tokens_expr
 
+    # spread once here: the detector AND the final token-filter scan both
+    # tokenize this frame (the inner spread collapses into this one)
+    df = _spread_small_input(df, id_col)
     runs = duplicated_span_runs(
         df, k=k, id_col=id_col, text_col=text_col, min_docs=min_docs
     )
@@ -424,6 +458,7 @@ def ngram_jaccard_dups(
     set jaccard on the full shingle sets. Returns (id_a, id_b, jaccard_sim),
     id_a < id_b.
     """
+    df = _spread_small_input(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles_expr(text_col, shingle_k).alias("shingles"),
@@ -491,6 +526,7 @@ def containment_pairs(
     shingles, enter no posting list, and never pair. round(·, 6) for
     oracle parity.
     """
+    df = _spread_small_input(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles_expr(text_col, shingle_k).alias("shingles"),
@@ -560,7 +596,7 @@ def minhash_signatures(
     One explode + one groupBy with n min-aggregates — a single shuffle,
     map-side partial mins, no UDF.
     """
-    sh = df.select(
+    sh = _spread_small_input(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles_expr(text_col, shingle_k)).alias("s"),
     )
@@ -624,6 +660,7 @@ def minhash_lsh_dups(
     skew-killer). A bucket that large is exact-dup-grade duplication — run
     ``exact_dup_groups`` first; LSH is for the non-identical tail.
     """
+    df = _spread_small_input(df, id_col)  # shared by the banded AND verify scans
     banded = minhash_band_buckets(
         df,
         id_col=id_col,
@@ -769,7 +806,9 @@ def simhash_dups(
     """
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
     width = bits // blocks
-    sig = df.select(F.col(id_col).alias("id"), simhash_expr(text_col, bits=bits).alias("sig"))
+    sig = _spread_small_input(df, id_col).select(
+        F.col(id_col).alias("id"), simhash_expr(text_col, bits=bits).alias("sig")
+    )
     # shiftrightunsigned: logical shift keeps block keys non-negative even
     # when the 64-bit signature's sign bit is set
     block_cols = [
