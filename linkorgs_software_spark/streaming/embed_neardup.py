@@ -40,6 +40,7 @@ from .history import (
     history_table_name,
     maybe_compact,
     read_prior_history,
+    recommended_history_buckets,
     write_history_bucketed,
 )
 
@@ -57,7 +58,7 @@ def embed_neardup_batch(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 5000,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     multiprobe: int = 0,
     compact_every: int | None = None,
     occupancy_warn_factor: float | None = 4.0,
@@ -127,11 +128,14 @@ def _embed_neardup_batch_inner(
     num_tables: int,
     seed: int,
     max_bucket_df: int | None,
-    num_history_buckets: int,
+    num_history_buckets: int | None,
     multiprobe: int,
     compact_every: int | None,
     occupancy_warn_factor: float | None = 4.0,
 ) -> None:
+    if num_history_buckets is None:  # scale-adaptive default; only the
+        # table-creating first batch actually consumes the resolved value
+        num_history_buckets = recommended_history_buckets(batch_df)
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     emb_dir = os.path.join(out_dir, "history", "embeddings")
     docs_dir = os.path.join(out_dir, "docs")
@@ -344,7 +348,7 @@ def incremental_embed_neardup(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_df: int | None = 5000,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     multiprobe: int = 0,
     compact_every: int | None = None,
     occupancy_warn_factor: float | None = 4.0,

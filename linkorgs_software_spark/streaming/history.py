@@ -111,6 +111,43 @@ def _ensure_table(spark: SparkSession, table: str, path: str) -> bool:
     return True
 
 
+def recommended_history_buckets(
+    batch_df: DataFrame, *, target_bytes: int = 16 * 1024 * 1024,
+    lo: int = 8, hi: int = 4096,
+) -> int:
+    """Bucket count derived from the micro-batch's estimated size — the
+    scale-adaptive default for the streaming history tables.
+
+    A FIXED bucket count is wrong at both ends: 64 buckets over a small
+    local stream writes 64 near-empty files per batch per slice (measured
+    round 7: the 4-batch near-dup bench spent 3.6x its compute time on
+    small-file and bucket-commit overhead, 72.6s at 64 buckets vs 20.2s
+    at 8, identical results), while 64 buckets over a 100 TB/day feed
+    caps the Exchange-free history join's scan parallelism at 64 tasks
+    forever. The rule sizes buckets so a batch's slice lands near
+    ``target_bytes`` per file, clamped to [lo, hi]; the estimate comes
+    from the batch frame's optimizer statistics (file-source sizes — no
+    action, no ``.rdd``). Only the FIRST batch resolves this: after the
+    table exists, inserts follow the on-disk bucket spec. Streams whose
+    batch volume will grow far past the bootstrap batch should pass an
+    explicit production count instead.
+    """
+    try:
+        raw = (
+            batch_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        size = int(raw if isinstance(raw, int) else raw.toString())
+    except Exception:
+        return lo
+    # a source with no statistics (in-memory frames, some streaming
+    # sources) reports Spark's defaultSizeInBytes sentinel (~2^63); any
+    # such absurd estimate means UNKNOWN, not huge — fall back to ``lo``
+    # and let production streams pass an explicit count
+    if size <= 0 or size >= 1 << 50:
+        return lo
+    return max(lo, min(hi, (size + target_bytes - 1) // target_bytes))
+
+
 def write_history_bucketed(
     df: DataFrame,
     table: str,

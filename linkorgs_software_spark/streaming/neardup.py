@@ -59,6 +59,7 @@ from .history import (
     history_table_name,
     maybe_compact,
     read_prior_history,
+    recommended_history_buckets,
     write_history_bucketed,
 )
 
@@ -75,7 +76,7 @@ def neardup_batch(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     compact_every: int | None = None,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
@@ -125,9 +126,12 @@ def _neardup_batch_inner(
     shingle_k: int,
     threshold: float,
     max_bucket_df: int | None,
-    num_history_buckets: int,
+    num_history_buckets: int | None,
     compact_every: int | None,
 ) -> None:
+    if num_history_buckets is None:  # scale-adaptive default; only the
+        # table-creating first batch actually consumes the resolved value
+        num_history_buckets = recommended_history_buckets(batch_df)
     buckets_dir = os.path.join(out_dir, "history", "buckets")
     shingles_dir = os.path.join(out_dir, "history", "shingles")
     docs_dir = os.path.join(out_dir, "docs")
@@ -288,7 +292,7 @@ def incremental_neardup_dedup(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_bucket_df: int | None = 5000,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     compact_every: int | None = None,
     available_now: bool = False,
 ):

@@ -80,6 +80,7 @@ from .history import (
     history_table_name,
     maybe_compact,
     read_prior_history,
+    recommended_history_buckets,
     write_history_bucketed,
 )
 
@@ -93,7 +94,7 @@ def resolve_batch(
     cfg: LinkConfig = DEFAULT,
     max_dist: float = 0.5,
     create_max_dist: float | None = None,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     compact_every: int | None = None,
 ) -> None:
     """Process one micro-batch (public, so replay behaviour is testable).
@@ -131,9 +132,12 @@ def _resolve_batch_inner(
     cfg: LinkConfig,
     max_dist: float,
     create_max_dist: float,
-    num_history_buckets: int,
+    num_history_buckets: int | None,
     compact_every: int | None,
 ) -> None:
+    if num_history_buckets is None:  # scale-adaptive default; only the
+        # table-creating first batch actually consumes the resolved value
+        num_history_buckets = recommended_history_buckets(batch_df)
     grams_dir = os.path.join(out_dir, "history", "grams")
     entities_dir = os.path.join(out_dir, "history", "entities")
     assign_dir = os.path.join(out_dir, "assignments")
@@ -494,7 +498,7 @@ def incremental_resolve(
     cfg: LinkConfig = DEFAULT,
     max_dist: float = 0.5,
     create_max_dist: float | None = None,
-    num_history_buckets: int = 64,
+    num_history_buckets: int | None = None,
     compact_every: int | None = None,
     merge_every: int | None = None,
     merge_max_dist: float | None = None,
