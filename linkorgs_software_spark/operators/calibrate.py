@@ -185,13 +185,22 @@ def calibrated_threshold(
             # join computes one array_intersect per pair instead of building
             # both q-gram sets per pair (cap² set constructions otherwise —
             # the dominant fixed cost of a calibration).
-            from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
+            from ..functions.qgrams import (
+                jaccard_dist_from_sizes_expr,
+                packed_qgram_set_expr,
+                qgram_set_expr,
+            )
 
+            # packed bigint sets for q <= 3: same cardinalities, ~4.5x
+            # cheaper per-pair intersect (see packed_qgram_set_expr)
+            set_expr = (
+                packed_qgram_set_expr if cfg.qgram <= 3 else qgram_set_expr
+            )
             xs = xs.select(
-                qgram_set_expr(NORM_COL, cfg.qgram).alias("_gx")
+                set_expr(NORM_COL, cfg.qgram).alias("_gx")
             ).withColumn("_nx", F.size("_gx"))
             ys = ys.select(
-                qgram_set_expr("_ynorm", cfg.qgram).alias("_gy")
+                set_expr("_ynorm", cfg.qgram).alias("_gy")
             ).withColumn("_ny", F.size("_gy"))
             dist_expr_ = jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny")
         else:

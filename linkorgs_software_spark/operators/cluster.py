@@ -42,6 +42,12 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize the symmetric edge list ONCE: every iteration's neighbor
+    # join re-reads it, and without the checkpoint each round re-executes
+    # the caller's full edge lineage (for link_many that is every pairwise
+    # blocking+scoring join — measured round 7: ~3s per CC round, half the
+    # query's wall time, all recomputation)
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("a").alias("id")).distinct()
 
     labels = nodes.withColumn("component", F.col("id"))

@@ -20,7 +20,11 @@ from pyspark.storagelevel import StorageLevel
 
 from ..config import LinkConfig
 from ..functions.normalize import NORM_COL
-from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
+from ..functions.qgrams import (
+    jaccard_dist_from_sizes_expr,
+    packed_qgram_set_expr,
+    qgram_set_expr,
+)
 from ..functions.scorers import distance_expr
 
 DIST_COL = "stringdist"
@@ -47,11 +51,17 @@ def score_pairs(
         # Precompute each side's q-gram set AND its size ONCE per distinct
         # name (n rows) instead of per candidate pair (can be 1000x more
         # rows): the per-pair work drops to ONE array_intersect — the union
-        # size is |A|+|B|−|A∩B| from the joined-in per-side sizes.
-        xn = xn.withColumn("_gx", qgram_set_expr("name_norm_x", cfg.qgram)).withColumn(
+        # size is |A|+|B|−|A∩B| from the joined-in per-side sizes. For
+        # q <= 3 the sets are PACKED bigint arrays (injective code-point
+        # pack, identical cardinalities/intersections): long hashing makes
+        # the per-pair intersect ~4.5x cheaper than UTF8String hashing.
+        set_expr = (
+            packed_qgram_set_expr if cfg.qgram <= 3 else qgram_set_expr
+        )
+        xn = xn.withColumn("_gx", set_expr("name_norm_x", cfg.qgram)).withColumn(
             "_nx", F.size("_gx")
         )
-        yn = yn.withColumn("_gy", qgram_set_expr("name_norm_y", cfg.qgram)).withColumn(
+        yn = yn.withColumn("_gy", set_expr("name_norm_y", cfg.qgram)).withColumn(
             "_ny", F.size("_gy")
         )
         dist = jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny")

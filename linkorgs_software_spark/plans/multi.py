@@ -198,10 +198,20 @@ def link_many(
     if len(by_cols) != len(sides):
         raise ValueError("one `by` column per side (or a single string)")
 
+    from ..cache import register_cache
+
     prepared = []
     nodes = None
     for i, (df, col) in enumerate(zip(sides, by_cols)):
-        p = prepare_side(df.select(F.col(col).alias("name")), "name", f"m{i}", cfg)
+        # persisted: each side feeds its node frame plus N-1 pairwise
+        # blocking joins, and every blocking join reads the side 3x (gram
+        # index, gram-count denominator, scoring name attach) — without
+        # the persist the normalize scan re-runs ~3(N-1) times per side
+        p = register_cache(
+            prepare_side(
+                df.select(F.col(col).alias("name")), "name", f"m{i}", cfg
+            ).persist()
+        )
         prepared.append(p)
         n = (
             p.groupBy(F.col(NORM_COL).alias("name_norm"))

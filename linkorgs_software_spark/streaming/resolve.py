@@ -186,11 +186,20 @@ def _resolve_batch_inner(
     # the largest single CPU sink of the whole query.
     use_jac = cfg.distance_measure == "jaccard"
     if use_jac:
-        from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
+        from ..functions.qgrams import (
+            jaccard_dist_from_sizes_expr,
+            packed_qgram_set_expr,
+            qgram_set_expr,
+        )
 
+        # packed bigint sets for q <= 3: same cardinalities, ~4.5x
+        # cheaper per-pair intersect (see packed_qgram_set_expr)
+        _set_expr = (
+            packed_qgram_set_expr if cfg.qgram <= 3 else qgram_set_expr
+        )
         names_g = register_cache(
             names.select(
-                "_nid", qgram_set_expr(NORM_COL, cfg.qgram).alias("_gset")
+                "_nid", _set_expr(NORM_COL, cfg.qgram).alias("_gset")
             )
             .withColumn("_gsz", F.size("_gset"))
             .persist()
@@ -225,7 +234,7 @@ def _resolve_batch_inner(
             aliases = aliases.select(
                 "alias_id",
                 "entity_id",
-                qgram_set_expr("_alias_norm", cfg.qgram).alias("_aset"),
+                _set_expr("_alias_norm", cfg.qgram).alias("_aset"),
             ).withColumn("_asz", F.size("_aset"))
             dist = jaccard_dist_from_sizes_expr("_gset", "_aset", "_gsz", "_asz")
             verified = (
