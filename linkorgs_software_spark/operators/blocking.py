@@ -39,17 +39,10 @@ SHARED_COL = "shared_grams"
 def gram_index(df: DataFrame, id_col: str, cfg: LinkConfig) -> DataFrame:
     """Distinct ``(id, gram)`` inverted index for one side.
 
-    The per-id dedup is a ``groupBy(id).agg(min(name_norm))``, not
-    ``dropDuplicates([id])``: the id IS ``xxhash64(name_norm)``
-    (``normalize.record_id_expr``), so every row of an id carries the same
-    name and ``min`` ≡ ``first`` — but ``min`` compiles to a pure
-    HashAggregate while ``first()`` forces a SortAggregate with a Sort on
-    BOTH sides of the dedup exchange (measured in the round-7 plan
-    captures), and the hash-partitioning on ``id`` it establishes is
-    reused Exchange-free by the ``n_grams`` denominator aggregate."""
-    uniq = df.select(id_col, NORM_COL).groupBy(id_col).agg(
-        F.min(NORM_COL).alias(NORM_COL)
-    )
+    The per-id dedup also guarantees ``explode_qgrams``' one-row-per-id
+    precondition (its output is distinct per (id, gram) without any dedup
+    aggregation of its own — see functions/qgrams.py)."""
+    uniq = df.select(id_col, NORM_COL).dropDuplicates([id_col])
     return explode_qgrams(
         uniq, NORM_COL, id_col, cfg.block_ngram, prefix_cap=cfg.name_prefix_cap
     )
