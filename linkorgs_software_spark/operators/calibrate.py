@@ -185,22 +185,21 @@ def calibrated_threshold(
             # join computes one array_intersect per pair instead of building
             # both q-gram sets per pair (cap² set constructions otherwise —
             # the dominant fixed cost of a calibration).
-            from ..functions.qgrams import (
-                jaccard_dist_from_sizes_expr,
-                packed_qgram_set_expr,
-                qgram_set_expr,
-            )
+            from ..functions.qgrams import jaccard_dist_from_sizes_expr, qgram_set_expr
 
-            # packed bigint sets for q <= 3: same cardinalities, ~4.5x
-            # cheaper per-pair intersect (see packed_qgram_set_expr)
-            set_expr = (
-                packed_qgram_set_expr if cfg.qgram <= 3 else qgram_set_expr
-            )
+            # STRING sets here, deliberately: the calibration cross join is
+            # bounded at sample_cap^2 pairs, so the packed-set form's
+            # per-pair saving cannot amortize its larger expression trees —
+            # an interleaved bisect of the alias-path flow (which runs up
+            # to three calibrations) read ~10.2s with string sets vs ~14.7s
+            # with packed ones, while the unbounded-pair scoring paths
+            # (score_pairs, the resolver) keep the packed form where it
+            # measured 4.5x per-pair
             xs = xs.select(
-                set_expr(NORM_COL, cfg.qgram).alias("_gx")
+                qgram_set_expr(NORM_COL, cfg.qgram).alias("_gx")
             ).withColumn("_nx", F.size("_gx"))
             ys = ys.select(
-                set_expr("_ynorm", cfg.qgram).alias("_gy")
+                qgram_set_expr("_ynorm", cfg.qgram).alias("_gy")
             ).withColumn("_ny", F.size("_gy"))
             dist_expr_ = jaccard_dist_from_sizes_expr("_gx", "_gy", "_nx", "_ny")
         else:
