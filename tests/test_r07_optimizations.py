@@ -1,0 +1,168 @@
+"""Focused tests for the round-7 optimization internals.
+
+Each optimization that changed an operator's internals gets a direct
+check here: the scale-adaptive input spread, the history-bucket sizing
+rule, the packed q-gram sets' exact equivalence to the string form, and
+the df-cap's over-cap broadcast direction (VERDICT r6 "Next round #1"
+asked for precisely that plan assertion).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# _spread_small_input: fires only on provably-small file-backed inputs
+# ---------------------------------------------------------------------------
+
+
+def test_spread_fires_on_small_file_input(spark, tmp_path):
+    from linkorgs_software_spark.operators.corpus import _spread_small_input
+
+    path = str(tmp_path / "docs")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("text "), F.col("id")).alias("text")
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = _spread_small_input(df, "doc_id")
+    assert out is not df  # small estimate => repartitioned
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "hashpartitioning(doc_id" in plan
+    # row-identical
+    assert sorted(r.doc_id for r in out.collect()) == list(range(500))
+
+
+def test_spread_noop_on_large_estimates_and_unknown_sources(spark):
+    from linkorgs_software_spark.operators.corpus import _spread_small_input
+
+    # large estimated size (range is numeric, estimate = rows x width — far
+    # past parallelism x 32MB): guard must NOT add a shuffle
+    big = spark.range(2_000_000_000).select(F.col("id").alias("doc_id"))
+    assert _spread_small_input(big, "doc_id") is big
+    # in-memory frames report Spark's unknown-size sentinel on some plans;
+    # a stats failure or absurd estimate must leave the frame untouched
+    # rather than repartitioning a possibly-huge stream (covered by the
+    # sentinel branch; here we just assert no exception and row identity)
+    mem = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    out = _spread_small_input(mem, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# recommended_history_buckets: floor on unknown, clamped rule on real stats
+# ---------------------------------------------------------------------------
+
+
+def test_history_buckets_floor_and_clamp(spark, tmp_path):
+    from linkorgs_software_spark.streaming.history import recommended_history_buckets
+
+    # small file-backed batch -> floor
+    path = str(tmp_path / "batch")
+    spark.range(100).select(F.col("id").alias("doc_id")).write.parquet(path)
+    small = spark.read.parquet(path)
+    assert recommended_history_buckets(small) == 8
+    # unknown-size sentinel (no-stats source) -> floor, never the hi clamp
+    # (the first implementation trusted the sentinel and created a
+    # 4096-bucket table for an in-memory micro-batch — regression test)
+    mem = spark.createDataFrame([("a",)], "name string")
+    assert recommended_history_buckets(mem) == 8
+    # a genuinely large estimate scales with target_bytes and clamps at hi
+    big = spark.range(1_000_000_000).select(F.col("id").alias("v"))
+    assert recommended_history_buckets(big, target_bytes=1024 * 1024) == 4096
+    assert 8 <= recommended_history_buckets(big) <= 4096
+
+
+# ---------------------------------------------------------------------------
+# packed q-gram sets: exact equivalence with the string form
+# ---------------------------------------------------------------------------
+
+
+def test_packed_qgram_sets_match_string_sets(spark):
+    from linkorgs_software_spark.functions.qgrams import (
+        packed_qgram_set_expr,
+        qgram_set_expr,
+    )
+
+    names = [
+        "acme systems inc",
+        "ab",
+        "a",
+        "",
+        "acme  systems",
+        "日本語テスト株式会社",
+        "emoji 😀😀 name",  # astral-plane code points
+        "€uro side",
+        "aaaaaaaaaa",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    for q in (2, 3):
+        checked = df.select(
+            F.size(qgram_set_expr("name", q)).alias("n_str"),
+            F.size(packed_qgram_set_expr("name", q)).alias("n_packed"),
+            F.size(
+                F.array_distinct(packed_qgram_set_expr("name", q))
+            ).alias("n_packed_distinct"),
+        ).collect()
+        for r in checked:
+            # same cardinality, and the pack introduced no collisions
+            assert r.n_str == r.n_packed == r.n_packed_distinct
+    # pairwise intersections agree too (the quantity jaccard consumes)
+    a = df.select(F.col("name").alias("na"))
+    b = df.select(F.col("name").alias("nb"))
+    pairs = a.crossJoin(b)
+    diff = pairs.select(
+        (
+            F.size(
+                F.array_intersect(qgram_set_expr("na", 2), qgram_set_expr("nb", 2))
+            )
+            - F.size(
+                F.array_intersect(
+                    packed_qgram_set_expr("na", 2), packed_qgram_set_expr("nb", 2)
+                )
+            )
+        ).alias("d")
+    ).filter("d != 0")
+    assert diff.count() == 0
+
+
+def test_packed_qgram_rejects_wide_q(spark):
+    from linkorgs_software_spark.functions.qgrams import packed_qgram_set_expr
+
+    with pytest.raises(ValueError):
+        packed_qgram_set_expr("name", 4)
+
+
+# ---------------------------------------------------------------------------
+# apply_df_cap: broadcasts the OVER-cap side, anti-joins, same output
+# ---------------------------------------------------------------------------
+
+
+def test_df_cap_broadcasts_overcap_side_and_matches_keep_semantics(spark):
+    from linkorgs_software_spark.operators.blocking import apply_df_cap
+
+    rows = [("hot", i) for i in range(50)] + [
+        (f"g{i}", i) for i in range(20)
+    ]
+    idx = spark.createDataFrame(rows, "gram string, id long")
+    capped = apply_df_cap(idx, "gram", 10)
+    plan = capped._sc._jvm.PythonSQLUtils.explainString(
+        capped._jdf.queryExecution(), "formatted"
+    )
+    # the join is LeftAnti with a broadcast build side, and the build side
+    # filters on _df > cap (the over-cap list) — never a keep-list
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    assert "LeftSemi" not in plan
+    assert "(_df" in plan and "> 10" in plan.replace("#", " ").replace("L", " ")
+    # output identical to the keep-list formulation by construction
+    counts = idx.groupBy("gram").count()
+    keep = counts.filter(F.col("count") <= 10).select("gram")
+    expected = sorted(
+        (r.gram, r.id) for r in idx.join(keep, "gram", "left_semi").collect()
+    )
+    got = sorted((r.gram, r.id) for r in capped.collect())
+    assert got == expected
+    assert all(g != "hot" for g, _ in got) and len(got) == 20
