@@ -112,21 +112,12 @@ def duplicated_spans(
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # A small-file input (one split) would run the whole window explode on
-    # one core — the measured one-file-split trap. Repartition only when the
-    # file source has materially fewer splits than the session's parallelism;
-    # at scale (many input splits) this is a no-op, so no gratuitous shuffle.
-    # The probe is the reader's file listing (``inputFiles``), never ``.rdd``
-    # (an RDD conversion forces physical planning on every call); in-memory
-    # frames list no files and keep their existing parallelism.
-    spark = df.sparkSession
-    try:
-        sc_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except ValueError:  # AQE-managed platforms report 'auto'
-        sc_parts = spark.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < max(2, sc_parts // 2):
-        df = df.repartition(sc_parts)
+    # A small input (one split) would run the whole window explode on one
+    # core — the measured one-file-split trap. The shared guard keys on the
+    # optimizer's size estimate (so one HUGE file is also caught, which the
+    # pre-round-7 inline file-count probe here missed) and repartitions by
+    # the unique doc id — no round-robin pre-sort; at scale it is a no-op.
+    df = _spread_small_input(df, id_col)
     # explode_outer keeps zero-span docs as one null-span row, so the final
     # per-doc aggregate covers every doc without a third scan of ``df``;
     # persisting the exploded frame means the window explode — the linear-

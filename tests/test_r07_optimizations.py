@@ -36,6 +36,31 @@ def test_spread_fires_on_small_file_input(spark, tmp_path):
     assert sorted(r.doc_id for r in out.collect()) == list(range(500))
 
 
+def test_duplicated_spans_uses_shared_spread_guard(spark, tmp_path):
+    """duplicated_spans delegates its small-input spread to
+    _spread_small_input (round-7 "Not yet optimized #5" unification): on a
+    one-split file input the explode runs behind a KEYED repartition — the
+    legacy inline guard's round-robin Exchange (and its file-COUNT probe,
+    which missed the one-huge-file case) is gone."""
+    from linkorgs_software_spark.operators.corpus import duplicated_spans
+
+    path = str(tmp_path / "docs")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("one two three four five six seven eight x"),
+                 F.col("id")).alias("text"),
+    ).coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = duplicated_spans(docs, k=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "hashpartitioning(doc_id" in plan
+    assert "roundrobin" not in plan.lower()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 200 and all(r.n_spans == 2 for r in rows.values())
+
+
 def test_spread_noop_on_large_estimates_and_unknown_sources(spark):
     from linkorgs_software_spark.operators.corpus import _spread_small_input
 
