@@ -155,11 +155,23 @@ def candidate_pairs(
     *,
     x_id: str = "x_id",
     y_id: str = "y_id",
+    x_count: int | None = None,
+    y_count: int | None = None,
 ) -> DataFrame:
     """Blocked candidate pairs ``(x_id, y_id, shared_grams, n_grams_x)``.
 
     ``x_prep`` / ``y_prep`` carry ``name_norm`` + the hash id (see
     functions/normalize.prepare_side).
+
+    ``x_count`` / ``y_count``: an already-known upper bound on that side's
+    distinct-name count (callers that calibrate have paid for the exact
+    count; never add an action just to learn it). A gram's posting list in
+    the (per-id-distinct) index is bounded by the side's distinct-id count,
+    so ``count <= max_block_df`` proves the df-cap a no-op and its
+    aggregate + broadcast + anti-join subtree is pruned outright — the same
+    guard ``streaming.resolve`` applies to its batch side (round-7 measure:
+    the cap subtrees were ~40% of candidate-generation wall on sides far
+    under the cap). ``None`` (unknown) keeps the cap unconditionally.
     """
     x_tri = gram_index(x_prep, x_id, cfg)
     y_tri = gram_index(y_prep, y_id, cfg)
@@ -169,8 +181,10 @@ def candidate_pairs(
     x_ntri = x_tri.groupBy(x_id).agg(F.count(F.lit(1)).alias("n_grams_x"))
 
     if cfg.max_block_df is not None:
-        x_tri = apply_df_cap(x_tri, "gram", cfg.max_block_df)
-        y_tri = apply_df_cap(y_tri, "gram", cfg.max_block_df)
+        if x_count is None or x_count > cfg.max_block_df:
+            x_tri = apply_df_cap(x_tri, "gram", cfg.max_block_df)
+        if y_count is None or y_count > cfg.max_block_df:
+            y_tri = apply_df_cap(y_tri, "gram", cfg.max_block_df)
 
     if cfg.salt_buckets and cfg.salt_buckets > 1:
         s = cfg.salt_buckets

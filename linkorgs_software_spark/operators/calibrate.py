@@ -85,17 +85,26 @@ def _exact_quantile(dists: DataFrame, q: float) -> float | None:
     pick is deterministic and ANSI-SQL-expressible, which is what lets the
     calibrated flagship query be oracle-checked.
     """
-    n = dists.count()
-    if n == 0:
-        return None
-    kk = max(1, min(n, math.ceil(q * n)))
-    row = (
-        dists.orderBy(F.col("dist").asc())
-        .limit(kk)
-        .agg(F.max("dist").alias("m"))
-        .collect()[0]
-    )
-    return row["m"]
+    # Persist before the two actions: without it the count and the top-k
+    # pick each re-run the scored sample cross join — the calibration's
+    # dominant cost, paid twice (round-7 profile: ~3s per calibration, x2).
+    # The frame is one double column bounded at sample_cap² rows, so the
+    # cache is a few MB; values are unchanged.
+    dists = dists.persist()
+    try:
+        n = dists.count()
+        if n == 0:
+            return None
+        kk = max(1, min(n, math.ceil(q * n)))
+        row = (
+            dists.orderBy(F.col("dist").asc())
+            .limit(kk)
+            .agg(F.max("dist").alias("m"))
+            .collect()[0]
+        )
+        return row["m"]
+    finally:
+        dists.unpersist()
 
 
 def calibrated_threshold_on_column(
@@ -156,8 +165,15 @@ def calibrated_threshold(
     *,
     k: float | None = None,
     measure: str | None = None,
-) -> float:
-    """Data-dependent MaxDist for ``measure`` at budget ``k`` matches/row."""
+    return_counts: bool = False,
+) -> float | tuple[float, int, int]:
+    """Data-dependent MaxDist for ``measure`` at budget ``k`` matches/row.
+
+    ``return_counts=True`` additionally returns the two exact distinct-name
+    counts the calibration already computed, as ``(thr, nx, ny)`` — callers
+    feed them to ``candidate_pairs`` as posting-list bounds (the df-cap
+    no-op proof) instead of paying a second count action.
+    """
     k = cfg.ave_match_number_per_alias if k is None else k
     measure = cfg.distance_measure if measure is None else measure
 
@@ -166,11 +182,14 @@ def calibrated_threshold(
     # dedup shuffle once per action).
     x_all = x_prep.select(NORM_COL).dropDuplicates().cache()
     y_all = y_prep.select(F.col(NORM_COL).alias("_ynorm")).dropDuplicates().cache()
+    def _ret(v: float):
+        return (v, nx, ny) if return_counts else v
+
     try:
         nx = x_all.count()
         ny = y_all.count()
         if nx == 0 or ny == 0:
-            return float("inf")
+            return _ret(float("inf"))
         xs = _seeded_sample(x_all, cfg.calibration_sample, cfg.seed, n=nx)
         ys = _seeded_sample(y_all, cfg.calibration_sample, cfg.seed + 1, n=ny)
 
@@ -215,8 +234,8 @@ def calibrated_threshold(
         else:
             thr = _exact_quantile(dists, q)
         if thr is None:
-            return float("inf")
-        return max(float(thr), 1e-6)
+            return _ret(float("inf"))
+        return _ret(max(float(thr), 1e-6))
     finally:
         x_all.unpersist()
         y_all.unpersist()

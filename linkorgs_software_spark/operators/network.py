@@ -61,9 +61,13 @@ def match_to_directory(
     # MaxDist_network + AveMatchNumberPerAlias_network through the identical
     # code path, LinkOrgs_LinkOrgs.R:610-617): a non-None ave knob
     # recalibrates and overrides the fixed threshold.
+    n_side = n_dir = None
     if cfg.ave_match_number_per_alias_network is not None:
-        thr = calibrated_threshold(
-            side_prep, dir_prep, cfg, k=cfg.ave_match_number_per_alias_network
+        # recycle the calibration's exact distinct-name counts as the
+        # blocking cap's posting-list bounds (candidate_pairs docstring)
+        thr, n_side, n_dir = calibrated_threshold(
+            side_prep, dir_prep, cfg, k=cfg.ave_match_number_per_alias_network,
+            return_counts=True,
         )
     elif cfg.max_dist_network is not None:
         thr = cfg.max_dist_network
@@ -71,7 +75,10 @@ def match_to_directory(
         from ..config import FALLBACK_MAX_DIST
 
         thr = FALLBACK_MAX_DIST
-    cands = candidate_pairs(side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID)
+    cands = candidate_pairs(
+        side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID,
+        x_count=n_side, y_count=n_dir,
+    )
     scored = score_pairs(
         cands, side_prep, dir_prep, cfg, x_id=side_id, y_id=ALIAS_ID, max_dist=thr
     )

@@ -90,21 +90,32 @@ def _rep_rows(prep: DataFrame, id_col: str, by_col: str, suffix: str) -> DataFra
     return rep
 
 
-def _resolve_threshold(x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig) -> float:
+def _resolve_threshold(
+    x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig
+) -> tuple[float, int | None, int | None]:
     """Reference threshold priority (``LinkOrgs_PFuzzyDiscreteFullFxn.R:67-76``):
     a non-None ``ave_match_number_per_alias`` recomputes the threshold by
     calibration and OVERRIDES ``max_dist``; ``max_dist`` applies only when the
     ave knob is None; both None falls back to the reference's internal
-    default MaxDist = 0.20."""
+    default MaxDist = 0.20.
+
+    Returns ``(thr, nx, ny)``; the counts are the calibration's exact
+    distinct-name counts when it ran (recycled as ``candidate_pairs``
+    posting-list bounds), else None — never computed just for the bound."""
     if cfg.ave_match_number_per_alias is not None:
-        return calibrated_threshold(x_prep, y_prep, cfg)
+        return calibrated_threshold(x_prep, y_prep, cfg, return_counts=True)
     if cfg.max_dist is not None:
-        return cfg.max_dist
-    return FALLBACK_MAX_DIST
+        return cfg.max_dist, None, None
+    return FALLBACK_MAX_DIST, None, None
 
 
 def _raw_match(
-    x_prep: DataFrame, y_prep: DataFrame, cfg: LinkConfig, max_dist: float
+    x_prep: DataFrame,
+    y_prep: DataFrame,
+    cfg: LinkConfig,
+    max_dist: float,
+    x_count: int | None = None,
+    y_count: int | None = None,
 ) -> DataFrame:
     # Materialize the blocked pair list: Catalyst pushes the threshold
     # predicate into the scoring join's condition, which would re-evaluate
@@ -115,7 +126,9 @@ def _raw_match(
     from pyspark.storagelevel import StorageLevel
 
     cands = _register_cache(
-        candidate_pairs(x_prep, y_prep, cfg).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        candidate_pairs(
+            x_prep, y_prep, cfg, x_count=x_count, y_count=y_count
+        ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
     return score_pairs(cands, x_prep, y_prep, cfg, max_dist=max_dist)
 
@@ -393,8 +406,11 @@ def link_orgs(
             "netdist_x", F.lit(0.0)
         ).withColumn("netdist_y", F.lit(0.0))
     else:
-        thr = _resolve_threshold(x_prep, y_prep, cfg)
-        z_raw = _stage("scored_raw", lambda: _raw_match(x_prep, y_prep, cfg, thr))
+        thr, nxc, nyc = _resolve_threshold(x_prep, y_prep, cfg)
+        z_raw = _stage(
+            "scored_raw",
+            lambda: _raw_match(x_prep, y_prep, cfg, thr, x_count=nxc, y_count=nyc),
+        )
         if algorithm == "alias":
             # cached: the two directional matches and their calibrations
             # issue several actions against the pruned directory

@@ -191,3 +191,42 @@ def test_df_cap_broadcasts_overcap_side_and_matches_keep_semantics(spark):
     got = sorted((r.gram, r.id) for r in capped.collect())
     assert got == expected
     assert all(g != "hot" for g, _ in got) and len(got) == 20
+
+
+def test_candidate_pairs_known_count_prunes_cap_subtree(spark):
+    """candidate_pairs(x_count=..., y_count=...): a side whose distinct-name
+    count is known to be <= max_block_df skips that side's df-cap outright
+    (posting lists are bounded by the distinct-id count, so the cap is a
+    provable no-op) — and the pair output is row-identical either way."""
+    from linkorgs_software_spark.config import LinkConfig
+    from linkorgs_software_spark.functions.normalize import prepare_side
+    from linkorgs_software_spark.operators.blocking import candidate_pairs
+
+    cfg = LinkConfig()
+    x = spark.createDataFrame(
+        [("acme corp",), ("acme inc",), ("zeta llc",)], "name string"
+    )
+    y = spark.createDataFrame(
+        [("acme corporation",), ("zeta l l c",)], "name string"
+    )
+    xp = prepare_side(x, "name", "x_id", cfg)
+    yp = prepare_side(y, "name", "y_id", cfg)
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    capped = candidate_pairs(xp, yp, cfg)
+    skipped = candidate_pairs(xp, yp, cfg, x_count=3, y_count=2)
+    assert "LeftAnti" in plan_of(capped)      # unknown counts: cap stays
+    assert "LeftAnti" not in plan_of(skipped)  # proven under cap: pruned
+    # a claimed count ABOVE the cap must keep the cap on that side
+    over = candidate_pairs(
+        xp, yp, cfg.with_(max_block_df=2), x_count=3, y_count=2
+    )
+    assert "LeftAnti" in plan_of(over)
+    rows = lambda df: sorted(
+        (r.x_id, r.y_id, r.shared_grams, r.n_grams_x) for r in df.collect()
+    )
+    assert rows(skipped) == rows(capped) and len(rows(capped)) > 0
